@@ -820,6 +820,16 @@ long long zlt_decoded_size(const uint8_t* in, size_t n) {
   return encpos == 0 ? total : -1;
 }
 
+// Batch exact Huffman length-table construction for the device pipeline:
+// freqs is nchunks rows of n frequencies; lengths (same shape) receives the
+// length-limited code lengths with the reference's exact tie-breaking.
+void zlt_length_tables(const uint32_t* freqs, int nchunks, int n, int max_codelen,
+                       uint32_t* lengths) {
+  LengthBuilder lb;
+  for (int c = 0; c < nchunks; c++)
+    lb.build(freqs + (size_t)c * n, lengths + (size_t)c * n, n, max_codelen);
+}
+
 int zlt_version(void) { return 1; }
 
 }  // extern "C"
