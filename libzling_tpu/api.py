@@ -30,6 +30,13 @@ def _register_backends() -> None:
     except Exception:  # pragma: no cover - native build unavailable
         pass
     try:
+        from . import pipeline as _pipeline
+
+        _BACKENDS_ENC["pipeline"] = _pipeline.encode
+        _BACKENDS_DEC["pipeline"] = _pipeline.decode
+    except Exception:  # pragma: no cover - native build unavailable
+        pass
+    try:
         from . import codec as _jax_codec
 
         _BACKENDS_ENC["jax"] = lambda d, lvl: _jax_codec.encode(d, lvl)
@@ -45,7 +52,7 @@ def _resolve(table: dict[str, Callable], backend: str) -> Callable:
     if backend == "auto":
         backend = os.environ.get("LIBZLING_TPU_BACKEND", "")
         if not backend:
-            for name in ("native", "spec"):
+            for name in ("pipeline", "native", "spec"):
                 if name in table:
                     backend = name
                     break

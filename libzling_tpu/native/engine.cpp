@@ -386,8 +386,12 @@ struct Tokenizer {
     return false;
   }
 
-  // tokenize one chunk; returns token count, advances *ipos
-  int run_chunk(int level, const uint8_t* buf, int ilen, int* ipos_io, uint16_t* tok) {
+  // tokenize one chunk; returns token count, advances *ipos.
+  // raw_literals: emit literal bytes unencoded (MTF relabel happens later --
+  // token boundaries never depend on MTF values, which is what makes
+  // block-parallel tokenization legal; SURVEY.md section 7.0 phase (b)).
+  int run_chunk(int level, const uint8_t* buf, int ilen, int* ipos_io, uint16_t* tok,
+                bool raw_literals = false) {
     const LevelParams lp = g_levels[level];
     int ipos = *ipos_io;
     int ntok = 0;
@@ -427,7 +431,7 @@ struct Tokenizer {
           continue;
         }
       }
-      tok[ntok++] = mtf->encode(buf[ipos - 1], buf[ipos]);
+      tok[ntok++] = raw_literals ? buf[ipos] : mtf->encode(buf[ipos - 1], buf[ipos]);
       ipos++;
       uint32_t* m = mru[buf[ipos - 3]];
       m[1] = m[0];
@@ -818,6 +822,115 @@ long long zlt_decoded_size(const uint8_t* in, size_t n) {
     if (pos > n) return -1;
   }
   return encpos == 0 ? total : -1;
+}
+
+// ---- split-stage pipeline ABI -------------------------------------------
+//
+// The parallel/hybrid pipelines drive the codec stage by stage: blocks are
+// tokenized in parallel with raw literals (stateless per block), the MTF
+// relabel runs as a cheap sequential carry pass, and the entropy stage can
+// run on host or device.  Tokens (zling u16 streams) are the interface.
+
+// Per-thread tokenizer context (rings only; ~5.6 MB, reused across blocks).
+void* zlt_tokenizer_new(void) {
+  auto* t = new EncodeEngine();
+  return t;
+}
+void zlt_tokenizer_free(void* h) { delete (EncodeEngine*)h; }
+
+// Tokenize one block with raw literals.  levels[] is the per-chunk level
+// schedule (optimistic prediction; the relabel/entropy phase validates it).
+// Outputs: tokens (concatenated chunks), rlens[], encpos[] per chunk.
+// Returns the number of chunks, or -1 if max_chunks/max_tokens too small.
+int zlt_tokenize_block_raw(void* h, const uint8_t* block, int ilen,
+                           const int* levels, int max_chunks,
+                           uint16_t* tokens, long long max_tokens,
+                           int* rlens, int* encpos_out) {
+  EncodeEngine* eng = (EncodeEngine*)h;
+  eng->tk.reset_rings();
+  int ipos = 0;
+  int nchunks = 0;
+  long long tpos = 0;
+  while (ipos < ilen) {
+    if (nchunks >= max_chunks || tpos + kChunkTokens > max_tokens) return -1;
+    int ntok = eng->tk.run_chunk(levels[nchunks], block, ilen, &ipos,
+                                 tokens + tpos, /*raw_literals=*/true);
+    rlens[nchunks] = ntok;
+    encpos_out[nchunks] = ipos;
+    tpos += ntok;
+    nchunks++;
+  }
+  return nchunks;
+}
+
+// Sequential MTF relabel pass: converts raw literals in `tokens` (chunked
+// per rlens[], all chunks of ONE block, starting at block position 0) to
+// final MTF ranks, carrying the stream-global MTF state in the handle.
+void* zlt_mtf_new(void) {
+  MtfState* m = new MtfState();
+  m->init();
+  return m;
+}
+void zlt_mtf_free(void* h) { delete (MtfState*)h; }
+void zlt_mtf_reset(void* h) { ((MtfState*)h)->init(); }
+
+// Snapshot/restore the 128 KB MTF state (for re-tokenization on adaptive-
+// level mispredicts and for block-granular checkpoint/resume).
+void zlt_mtf_save(void* h, uint8_t* buf) { memcpy(buf, h, sizeof(MtfState)); }
+void zlt_mtf_load(void* h, const uint8_t* buf) { memcpy(h, buf, sizeof(MtfState)); }
+
+void zlt_relabel_block(void* h, const uint8_t* block, uint16_t* tokens,
+                       const int* rlens, int nchunks) {
+  MtfState* mtf = (MtfState*)h;
+  int pos = 0;
+  long long t = 0;
+  for (int c = 0; c < nchunks; c++) {
+    long long end = t + rlens[c];
+    if (pos == 0 && t < end) { pos++; t++; }
+    if (pos == 1 && t < end) { pos++; t++; }
+    while (t < end) {
+      uint16_t tk = tokens[t];
+      if (tk < 256) {
+        tokens[t] = mtf->encode(block[pos - 1], (uint8_t)tk);
+        pos += 1;
+        t += 1;
+      } else if (tk <= 257) {
+        pos += 2;
+        t += 1;
+      } else {
+        pos += tk - 258 + kMinMatch;
+        t += 2;
+      }
+    }
+  }
+}
+
+// Entropy stage, one chunk: tokens -> payload bytes.  Returns olen.
+int zlt_entropy_encode(const uint16_t* tokens, int ntok, uint8_t* out) {
+  static thread_local LengthBuilder lb;
+  return entropy_encode_chunk(tokens, ntok, out, lb);
+}
+
+// Entropy decode, one chunk: payload (olen bytes + >=8B readable slack)
+// -> rlen tokens.  Returns 0 ok / -1 corrupt.
+int zlt_entropy_decode(const uint8_t* payload, int olen, int rlen, uint16_t* tokens) {
+  return entropy_decode_chunk(payload, olen, rlen, tokens);
+}
+
+// Stateful ROLZ resolver for the decode pipeline: rings reset per block via
+// zlt_resolver_reset_block; MTF carries across the whole stream.
+void* zlt_resolver_new(void) { return new DecodeEngine(); }
+void zlt_resolver_free(void* h) { delete (DecodeEngine*)h; }
+void zlt_resolver_reset_stream(void* h) { ((DecodeEngine*)h)->reset_stream(); }
+void zlt_resolver_reset_block(void* h) { ((DecodeEngine*)h)->rs.reset_rings(); }
+
+// Resolve one chunk of tokens into out (block-relative positions).
+// Returns new opos, or -1 on corrupt input.
+int zlt_resolve_chunk(void* h, const uint16_t* tokens, int rlen, int encpos,
+                      uint8_t* out, int opos) {
+  DecodeEngine* eng = (DecodeEngine*)h;
+  if (eng->rs.run_chunk(tokens, rlen, out, encpos, &opos) != 0) return -1;
+  return opos;
 }
 
 // Batch exact Huffman length-table construction for the device pipeline:

@@ -1,0 +1,320 @@
+"""Block-parallel host pipeline over the split-stage native engine.
+
+The format's only large-grain parallel axis is the 16 MB block (SURVEY.md
+section 2): ROLZ bucket state resets per block, so tokenization is
+block-independent -- provided literals are emitted raw, because the MTF
+tables are the one piece of state that crosses blocks.  This module runs the
+codec as the three-phase pipeline the TPU design uses (SURVEY.md section 7.0):
+
+  encode:  [parallel] tokenize blocks (raw literals)
+           [serial]   MTF relabel carry pass  (cheap: one table op per literal)
+           [parallel] per-chunk entropy coding
+  decode:  [parallel] per-chunk entropy decode
+           [serial]   ROLZ resolve + inverse MTF (content-dependent contexts
+                      make this stage inherently serial for zling streams)
+
+The adaptive level drop (src/libzling.cpp:261-266) couples chunk k+1's
+tokenization to chunk k's compressed size.  Tokenization runs optimistically
+with a predicted level schedule; the serial phase validates predictions and
+re-tokenizes a block with the corrected schedule on the (rare) mispredict.
+Output is bit-exact with the reference encoder.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .native import engine as native
+from .tables import BLOCK_SIZE_IN, BLOCK_SIZE_HUFFMAN, BLOCK_SIZE_ROLZ, SENTINEL_LEN
+
+_MAX_CHUNKS = 192           # >= ceil(16MB / 131072) worst-case chunks per block
+# worst case one token per input byte, plus one chunk of 2-token slack
+_MAX_BLOCK_TOKENS = BLOCK_SIZE_IN + BLOCK_SIZE_ROLZ + 16
+
+
+def _bind(dll):
+    if getattr(dll, "_zlt_pipeline_ready", False):
+        return
+    dll.zlt_tokenizer_new.restype = ctypes.c_void_p
+    dll.zlt_tokenizer_free.argtypes = [ctypes.c_void_p]
+    dll.zlt_tokenize_block_raw.restype = ctypes.c_int
+    dll.zlt_tokenize_block_raw.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    dll.zlt_mtf_new.restype = ctypes.c_void_p
+    dll.zlt_mtf_free.argtypes = [ctypes.c_void_p]
+    dll.zlt_mtf_reset.argtypes = [ctypes.c_void_p]
+    dll.zlt_relabel_block.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
+    dll.zlt_mtf_save.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    dll.zlt_mtf_load.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    dll.zlt_entropy_encode.restype = ctypes.c_int
+    dll.zlt_entropy_encode.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    dll.zlt_entropy_decode.restype = ctypes.c_int
+    dll.zlt_entropy_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+    ]
+    dll.zlt_resolver_new.restype = ctypes.c_void_p
+    dll.zlt_resolver_free.argtypes = [ctypes.c_void_p]
+    dll.zlt_resolver_reset_stream.argtypes = [ctypes.c_void_p]
+    dll.zlt_resolver_reset_block.argtypes = [ctypes.c_void_p]
+    dll.zlt_resolve_chunk.restype = ctypes.c_int
+    dll.zlt_resolve_chunk.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+    ]
+    dll._zlt_pipeline_ready = True
+
+
+class _TokenizerPool:
+    """Per-thread native tokenizer contexts plus a shared token-buffer pool.
+
+    Buffers are recycled through an explicit free queue (ownership passes
+    from worker to consumer and back): freshly-mapped pages fault at
+    ~0.2 GB/s on virtualized hosts, so reusing warm 34 MB token buffers
+    matters more than the tokenizer work itself for short calls.
+    """
+
+    def __init__(self, dll, nbuffers: int):
+        self.dll = dll
+        self.local = threading.local()
+        self.free: queue.Queue = queue.Queue()
+        for _ in range(nbuffers):
+            self.free.put(np.empty(_MAX_BLOCK_TOKENS, np.uint16))
+
+    def handle(self):
+        h = getattr(self.local, "h", None)
+        if h is None:
+            h = self.dll.zlt_tokenizer_new()
+            self.local.h = h
+        return h
+
+    def take_buffer(self):
+        return self.free.get()
+
+    def give_back(self, buf):
+        self.free.put(buf)
+
+
+class ParallelEncoder:
+    def __init__(self, workers: int = 2):
+        self.dll = native._lib()
+        _bind(self.dll)
+        self.workers = workers
+        self.pool = ThreadPoolExecutor(workers, thread_name_prefix="zlt-tok")
+        self.tok = _TokenizerPool(self.dll, nbuffers=workers + 1)
+        self.mtf = self.dll.zlt_mtf_new()
+        self._out = None
+
+    def _tokenize_block(self, block_view, ilen, levels):
+        tokens = self.tok.take_buffer()
+        rlens = np.zeros(_MAX_CHUNKS, np.int32)
+        encpos = np.zeros(_MAX_CHUNKS, np.int32)
+        lv = np.ascontiguousarray(levels, np.int32)
+        n = self.dll.zlt_tokenize_block_raw(
+            self.tok.handle(), block_view.ctypes.data, ilen, lv.ctypes.data,
+            _MAX_CHUNKS, tokens.ctypes.data, _MAX_BLOCK_TOKENS,
+            rlens.ctypes.data, encpos.ctypes.data)
+        if n < 0:
+            raise RuntimeError("tokenize overflow")
+        return tokens, rlens[:n], encpos[:n], lv
+
+    def encode(self, data: bytes, level: int) -> bytes:
+        if not 0 <= level <= 4:
+            raise ValueError("level must be 0..4")
+        if not data:
+            return b""
+        buf = np.frombuffer(data, np.uint8)
+        nblocks = (len(data) + BLOCK_SIZE_IN - 1) // BLOCK_SIZE_IN
+        views = [
+            buf[b * BLOCK_SIZE_IN: min((b + 1) * BLOCK_SIZE_IN, len(data))]
+            for b in range(nblocks)
+        ]
+        # optimistic schedule: every chunk at the requested level
+        predicted = [np.full(_MAX_CHUNKS, level, np.int32) for _ in range(nblocks)]
+        futures = [
+            self.pool.submit(self._tokenize_block, v, len(v), predicted[b])
+            for b, v in enumerate(views)
+        ]
+
+        self.dll.zlt_mtf_reset(self.mtf)
+        snapshot = np.empty(2 * 256 * 256, np.uint8)
+        cap = native._lib().zlt_encode_bound(len(data))
+        if self._out is None or self._out.size < cap:
+            self._out = np.empty(cap, np.uint8)
+        out = self._out
+        opos = 0
+        current_level = level
+
+        for b in range(nblocks):
+            tokens, rlens, encpos, used_levels = futures[b].result()
+            view = views[b]
+            self.dll.zlt_mtf_save(self.mtf, snapshot.ctypes.data)
+            while True:
+                # serial carry pass: raw literals -> MTF ranks (in place)
+                rl_arr = np.ascontiguousarray(rlens, np.int32)
+                self.dll.zlt_relabel_block(
+                    self.mtf, view.ctypes.data, tokens.ctypes.data,
+                    rl_arr.ctypes.data, len(rl_arr))
+                # entropy + adaptive-level validation
+                lvl = current_level
+                mispredict_at = -1
+                tpos = 0
+                prev_end = 0
+                opos_block = opos
+                for c in range(len(rlens)):
+                    if used_levels[c] != lvl:
+                        mispredict_at = c
+                        break
+                    out[opos] = 1
+                    olen = self.dll.zlt_entropy_encode(
+                        tokens.ctypes.data + 2 * tpos, int(rlens[c]),
+                        out.ctypes.data + opos + 13)
+                    ep, rl = int(encpos[c]), int(rlens[c])
+                    hdr = ep.to_bytes(4, "big") + rl.to_bytes(4, "big") + olen.to_bytes(4, "big")
+                    out[opos + 1: opos + 13] = np.frombuffer(hdr, np.uint8)
+                    opos += 13 + olen
+                    lvl = 0 if olen / (ep - prev_end + 1) > 0.95 else level
+                    prev_end = ep
+                    tpos += rl
+                if mispredict_at < 0:
+                    current_level = lvl
+                    break
+                opos = opos_block
+                # mispredicted: rebuild the schedule (validated prefix + the
+                # corrected level, predicting `lvl` style continuation) and
+                # re-tokenize this block serially
+                sched = np.full(_MAX_CHUNKS, level, np.int32)
+                sched[:mispredict_at] = used_levels[:mispredict_at]
+                sched[mispredict_at] = lvl
+                if lvl == 0:
+                    sched[mispredict_at:] = 0  # incompressible runs stay dropped
+                self.dll.zlt_mtf_load(self.mtf, snapshot.ctypes.data)
+                self.tok.give_back(tokens)
+                tokens, rlens, encpos, used_levels = self._tokenize_block(
+                    view, len(view), sched)
+            out[opos] = 0
+            opos += 1
+            self.tok.give_back(tokens)
+        return out[:opos].tobytes()
+
+
+class ParallelDecoder:
+    def __init__(self, workers: int = 2):
+        self.dll = native._lib()
+        _bind(self.dll)
+        self.workers = workers
+        self.pool = ThreadPoolExecutor(workers, thread_name_prefix="zlt-ent")
+        self.resolver = self.dll.zlt_resolver_new()
+        self._out = None
+        self._in = None
+        self.tok_free: queue.Queue = queue.Queue()
+        for _ in range(workers + 2):
+            self.tok_free.put(np.empty(BLOCK_SIZE_ROLZ + 16, np.uint16))
+
+    def _entropy_chunk(self, in_arr, off, olen, rlen):
+        tokens = self.tok_free.get()
+        rc = self.dll.zlt_entropy_decode(
+            in_arr.ctypes.data + off, olen, rlen, tokens.ctypes.data)
+        if rc != 0:
+            self.tok_free.put(tokens)
+            raise ValueError("zling: corrupt stream (entropy)")
+        return tokens
+
+    def decode(self, data: bytes) -> bytes:
+        if not data:
+            return b""
+        # one padded copy of the stream so the word-wise bit reader can
+        # over-read up to 8 bytes past any payload (reused, grow-only)
+        n = len(data)
+        if self._in is None or self._in.size < n + 8:
+            self._in = np.empty(n + 8, np.uint8)
+        in_arr = self._in
+        in_arr[:n] = np.frombuffer(data, np.uint8)
+        in_arr[n:n + 8] = 0
+        # parse container framing
+        chunks = []  # (block_id, encpos, rlen, payload_offset, olen)
+        pos = 0
+        block_id = 0
+        block_sizes = []
+        last_encpos = 0
+        while pos < n:
+            flag = data[pos]
+            pos += 1
+            if flag == 0:
+                block_sizes.append(last_encpos)
+                last_encpos = 0
+                block_id += 1
+                continue
+            if flag != 1 or pos + 12 > n:
+                raise ValueError("zling: corrupt stream (bad framing)")
+            encpos = int.from_bytes(data[pos:pos + 4], "big")
+            rlen = int.from_bytes(data[pos + 4:pos + 8], "big")
+            olen = int.from_bytes(data[pos + 8:pos + 12], "big")
+            pos += 12
+            if (rlen > BLOCK_SIZE_ROLZ or olen > BLOCK_SIZE_HUFFMAN
+                    or encpos > BLOCK_SIZE_IN or pos + olen > n):
+                raise ValueError("zling: corrupt stream (bad chunk header)")
+            chunks.append((block_id, encpos, rlen, pos, olen))
+            last_encpos = encpos
+            pos += olen
+        if last_encpos != 0:
+            raise ValueError("zling: truncated stream (missing stop flag)")
+
+        total = sum(block_sizes)
+        if self._out is None or self._out.size < total + SENTINEL_LEN:
+            self._out = np.empty(total + SENTINEL_LEN, np.uint8)
+        out = self._out
+        block_base = np.cumsum([0] + block_sizes[:-1]) if block_sizes else []
+
+        futures = [self.pool.submit(self._entropy_chunk, in_arr, off, olen, rlen)
+                   for (_b, _e, rlen, off, olen) in chunks]
+
+        self.dll.zlt_resolver_reset_stream(self.resolver)
+        cur_block = -1
+        opos = 0
+        for (bid, encpos, rlen, _off, _ol), fut in zip(chunks, futures):
+            tokens = fut.result()
+            if bid != cur_block:
+                self.dll.zlt_resolver_reset_block(self.resolver)
+                cur_block = bid
+                opos = 0
+            base = int(block_base[bid])
+            opos = self.dll.zlt_resolve_chunk(
+                self.resolver, tokens.ctypes.data, rlen, encpos,
+                out.ctypes.data + base, opos)
+            self.tok_free.put(tokens)
+            if opos < 0:
+                raise ValueError("zling: corrupt stream (resolve)")
+        return out[:total].tobytes()
+
+
+_ENC: ParallelEncoder | None = None
+_DEC: ParallelDecoder | None = None
+_LOCK = threading.Lock()
+
+
+def encode(data: bytes, level: int = 0) -> bytes:
+    global _ENC
+    with _LOCK:
+        if _ENC is None:
+            _ENC = ParallelEncoder()
+        enc = _ENC
+    return enc.encode(bytes(data), level)
+
+
+def decode(data: bytes) -> bytes:
+    global _DEC
+    with _LOCK:
+        if _DEC is None:
+            _DEC = ParallelDecoder()
+        dec = _DEC
+    return dec.decode(bytes(data))
