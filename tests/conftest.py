@@ -9,10 +9,17 @@ import os
 import pathlib
 import subprocess
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient env selects the TPU (axon); set
+# LIBZLING_TEST_TPU=1 to run the suite against real hardware instead.
+# jax is already imported by pytest plugins (jaxtyping) before this conftest
+# runs, so the platform must be set via jax.config, not JAX_PLATFORMS.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+if not os.environ.get("LIBZLING_TEST_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

@@ -29,13 +29,12 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
 def _seed_text() -> bytes:
+    # stable inputs only, so the corpus is identical across rounds
     parts = []
-    for name in ("SURVEY.md", "BASELINE.md", "README.md", "PAPERS.md"):
+    for name in ("SURVEY.md", "BASELINE.md"):
         p = REPO / name
         if p.exists():
             parts.append(p.read_bytes())
-    for p in sorted(REPO.glob("libzling_tpu/**/*.py")):
-        parts.append(p.read_bytes())
     ref = pathlib.Path("/root/reference/README.md")
     if ref.exists():
         parts.append(ref.read_bytes())
