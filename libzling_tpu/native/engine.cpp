@@ -922,6 +922,13 @@ int zlt_entropy_decode(const uint8_t* payload, int olen, int rlen, uint16_t* tok
 void* zlt_resolver_new(void) { return new DecodeEngine(); }
 void zlt_resolver_free(void* h) { delete (DecodeEngine*)h; }
 void zlt_resolver_reset_stream(void* h) { ((DecodeEngine*)h)->reset_stream(); }
+// decode-side MTF snapshot (for block-granular checkpoint/resume)
+void zlt_resolver_mtf_save(void* h, uint8_t* buf) {
+  memcpy(buf, &((DecodeEngine*)h)->mtf, sizeof(MtfState));
+}
+void zlt_resolver_mtf_load(void* h, const uint8_t* buf) {
+  memcpy(&((DecodeEngine*)h)->mtf, buf, sizeof(MtfState));
+}
 void zlt_resolver_reset_block(void* h) { ((DecodeEngine*)h)->rs.reset_rings(); }
 
 // Resolve one chunk of tokens into out (block-relative positions).

@@ -65,6 +65,8 @@ def _bind(dll):
     dll.zlt_resolver_new.restype = ctypes.c_void_p
     dll.zlt_resolver_free.argtypes = [ctypes.c_void_p]
     dll.zlt_resolver_reset_stream.argtypes = [ctypes.c_void_p]
+    dll.zlt_resolver_mtf_save.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    dll.zlt_resolver_mtf_load.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     dll.zlt_resolver_reset_block.argtypes = [ctypes.c_void_p]
     dll.zlt_resolve_chunk.restype = ctypes.c_int
     dll.zlt_resolve_chunk.argtypes = [
@@ -128,10 +130,26 @@ class ParallelEncoder:
         return tokens, rlens[:n], encpos[:n], lv
 
     def encode(self, data: bytes, level: int) -> bytes:
+        out, _carry = self.encode_with_carry(data, level, carry=None)
+        return out
+
+    def encode_with_carry(self, data: bytes, level: int,
+                          carry: tuple[bytes, int] | None) -> tuple[bytes, tuple[bytes, int]]:
+        """Encode whole 16 MB blocks with explicit cross-call state.
+
+        carry is (mtf_state_bytes, current_level) from a previous call (or
+        None for stream start); the data of every call except the last MUST
+        be a multiple of BLOCK_SIZE_IN -- shorter pieces end an input_block
+        early, which still yields a valid stream but not the one-shot bytes.
+        This is the block-granular checkpoint/resume seam: the format is
+        resumable at block boundaries given the 128 KB MTF state
+        (SURVEY.md section 5).
+        """
         if not 0 <= level <= 4:
             raise ValueError("level must be 0..4")
         if not data:
-            return b""
+            state = carry if carry is not None else (self.mtf_state_bytes(reset=True), level)
+            return b"", state
         buf = np.frombuffer(data, np.uint8)
         nblocks = (len(data) + BLOCK_SIZE_IN - 1) // BLOCK_SIZE_IN
         views = [
@@ -140,19 +158,31 @@ class ParallelEncoder:
         ]
         # optimistic schedule: every chunk at the requested level
         predicted = [np.full(_MAX_CHUNKS, level, np.int32) for _ in range(nblocks)]
+
+        def tokenize_with_retry(v, n, lv):
+            try:
+                return self._tokenize_block(v, n, lv)
+            except Exception:
+                # blocks are pure functions of (bytes, schedule): retry once
+                return self._tokenize_block(v, n, lv)
+
         futures = [
-            self.pool.submit(self._tokenize_block, v, len(v), predicted[b])
+            self.pool.submit(tokenize_with_retry, v, len(v), predicted[b])
             for b, v in enumerate(views)
         ]
 
-        self.dll.zlt_mtf_reset(self.mtf)
+        if carry is None:
+            self.dll.zlt_mtf_reset(self.mtf)
+            current_level = level
+        else:
+            self.load_mtf_state(carry[0])
+            current_level = carry[1]
         snapshot = np.empty(2 * 256 * 256, np.uint8)
         cap = native._lib().zlt_encode_bound(len(data))
         if self._out is None or self._out.size < cap:
             self._out = np.empty(cap, np.uint8)
         out = self._out
         opos = 0
-        current_level = level
 
         for b in range(nblocks):
             tokens, rlens, encpos, used_levels = futures[b].result()
@@ -204,7 +234,18 @@ class ParallelEncoder:
             out[opos] = 0
             opos += 1
             self.tok.give_back(tokens)
-        return out[:opos].tobytes()
+        return out[:opos].tobytes(), (self.mtf_state_bytes(), current_level)
+
+    def mtf_state_bytes(self, reset: bool = False) -> bytes:
+        if reset:
+            self.dll.zlt_mtf_reset(self.mtf)
+        buf = np.empty(2 * 256 * 256, np.uint8)
+        self.dll.zlt_mtf_save(self.mtf, buf.ctypes.data)
+        return buf.tobytes()
+
+    def load_mtf_state(self, state: bytes) -> None:
+        buf = np.frombuffer(state, np.uint8)
+        self.dll.zlt_mtf_load(self.mtf, buf.ctypes.data)
 
 
 class ParallelDecoder:
@@ -230,8 +271,21 @@ class ParallelDecoder:
         return tokens
 
     def decode(self, data: bytes) -> bytes:
+        out, _carry = self.decode_with_carry(data, carry=None)
+        return out
+
+    def decode_with_carry(self, data: bytes, carry: bytes | None) -> tuple[bytes, bytes]:
+        """Decode whole blocks with explicit MTF state for resume.
+
+        carry is the 128 KB decode-side MTF state from a previous call (None
+        for stream start); ``data`` must contain whole input_blocks.
+        """
         if not data:
-            return b""
+            if carry is None:
+                self.dll.zlt_resolver_reset_stream(self.resolver)
+            else:
+                self._load_mtf(carry)
+            return b"", self._save_mtf()
         # one padded copy of the stream so the word-wise bit reader can
         # over-read up to 8 bytes past any payload (reused, grow-only)
         n = len(data)
@@ -278,7 +332,10 @@ class ParallelDecoder:
         futures = [self.pool.submit(self._entropy_chunk, in_arr, off, olen, rlen)
                    for (_b, _e, rlen, off, olen) in chunks]
 
-        self.dll.zlt_resolver_reset_stream(self.resolver)
+        if carry is None:
+            self.dll.zlt_resolver_reset_stream(self.resolver)
+        else:
+            self._load_mtf(carry)
         cur_block = -1
         opos = 0
         for (bid, encpos, rlen, _off, _ol), fut in zip(chunks, futures):
@@ -294,7 +351,16 @@ class ParallelDecoder:
             self.tok_free.put(tokens)
             if opos < 0:
                 raise ValueError("zling: corrupt stream (resolve)")
-        return out[:total].tobytes()
+        return out[:total].tobytes(), self._save_mtf()
+
+    def _save_mtf(self) -> bytes:
+        buf = np.empty(2 * 256 * 256, np.uint8)
+        self.dll.zlt_resolver_mtf_save(self.resolver, buf.ctypes.data)
+        return buf.tobytes()
+
+    def _load_mtf(self, state: bytes) -> None:
+        buf = np.frombuffer(state, np.uint8)
+        self.dll.zlt_resolver_mtf_load(self.resolver, buf.ctypes.data)
 
 
 _ENC: ParallelEncoder | None = None
