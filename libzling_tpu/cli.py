@@ -40,7 +40,12 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(_USAGE)
         return 0 if argv else 1
 
+    # validate the command BEFORE opening (and truncating) any target file
     cmd = argv[0]
+    is_enc = cmd == "e" or (len(cmd) == 2 and cmd[0] == "e" and cmd[1] in "01234")
+    if not (is_enc or cmd == "d"):
+        sys.stderr.write(_USAGE)
+        return 1
     src = open(argv[1], "rb") if len(argv) > 1 else sys.stdin.buffer
     dst = open(argv[2], "wb") if len(argv) > 2 else sys.stdout.buffer
 
@@ -50,13 +55,10 @@ def main(argv: list[str] | None = None) -> int:
         if cmd == "d":
             out = api.decode(data, backend=backend)
             verb = "decode"
-        elif cmd == "e" or (len(cmd) == 2 and cmd[0] == "e" and cmd[1] in "01234"):
+        else:
             level = int(cmd[1]) if len(cmd) == 2 else 0
             out = api.encode(data, level, backend=backend)
             verb = "encode"
-        else:
-            sys.stderr.write(_USAGE)
-            return 1
         dt = time.time() - t0
         dst.write(out)
         mb = len(data) / 1e6
@@ -64,7 +66,10 @@ def main(argv: list[str] | None = None) -> int:
             f"{verb}: {len(data)} => {len(out)} bytes, "
             f"time={dt:.3f} sec, speed={mb / max(dt, 1e-9):.3f} MB/sec\n")
         if checksum:
-            sys.stderr.write(f"adler32: {zlib.adler32(out if cmd != 'd' else out):#010x}\n")
+            # both directions hash the UNCOMPRESSED payload so an encode's
+            # checksum can be compared with the matching decode's
+            plain = data if verb == "encode" else out
+            sys.stderr.write(f"adler32: {zlib.adler32(plain):#010x}\n")
         return 0
     except ValueError as e:
         sys.stderr.write(f"error: {e}\n")

@@ -570,7 +570,10 @@ int entropy_encode_chunk(const uint16_t* tok, int ntok, uint8_t* out, LengthBuil
   return opos;
 }
 
-// payload -> tokens; returns 0 ok / -1 corrupt.  `in` must have 8B slack.
+// payload -> tokens; returns 0 ok / -1 corrupt.  `in` must have 8B of
+// readable slack beyond olen (the word-wise reader can fetch 4B past the
+// final payload byte, like the reference's sentinel; reads are bounded to
+// olen+8 so corrupt rlen/olen combinations cannot over-read).
 int entropy_decode_chunk(const uint8_t* in, int olen, int rlen, uint16_t* tok) {
   uint32_t len1[kAlpha1], len2[kAlpha2];
   int pos = 0;
@@ -593,12 +596,12 @@ int entropy_decode_chunk(const uint8_t* in, int olen, int rlen, uint16_t* tok) {
   make_decode_table(len1, enc1, dec1, kAlpha1, kMaxLen1);
   make_decode_table(len1, enc1, dec1_fast, kAlpha1, kFastBits);
   make_decode_table(len2, enc2, dec2, kAlpha2, kMaxLen2);
-  (void)olen;
 
   uint64_t acc = 0;
   int nbits = 0;
   for (int i = 0; i < rlen; i++) {
     if (nbits < 32) {
+      if (pos + 4 > olen + 8) return -1;  // corrupt: bits exhausted
       acc |= (uint64_t)load32(in + pos) << nbits;
       pos += 4;
       nbits += 32;
@@ -723,6 +726,7 @@ struct DecodeEngine {
         uint32_t olen = get_u32be(in + pos + 8);
         pos += 12;
         if (rlen > kChunkTokens || olen > kChunkPayloadMax || encpos > kBlockIn) return -1;
+        if ((int)encpos < opos) return -1;  // non-monotonic: writes would pass cap
         if (pos + olen > n) return -1;
         if (done + encpos > cap) return -2;
         memcpy(payload.data(), in + pos, olen);
@@ -804,6 +808,8 @@ int zlt_decode(const uint8_t* in, size_t n, uint8_t* out, size_t* out_len) {
 }
 
 // Scan chunk headers only; returns total decoded size or -1 if malformed.
+// Applies the same header bounds the decoder enforces, so a tiny corrupt
+// stream cannot claim a huge decoded size.
 long long zlt_decoded_size(const uint8_t* in, size_t n) {
   size_t pos = 0;
   long long total = 0;
@@ -816,8 +822,13 @@ long long zlt_decoded_size(const uint8_t* in, size_t n) {
       continue;
     }
     if (flag != 1 || pos + 12 > n) return -1;
-    encpos = get_u32be(in + pos);
+    uint32_t ep = get_u32be(in + pos);
+    uint32_t rlen = get_u32be(in + pos + 4);
     uint32_t olen = get_u32be(in + pos + 8);
+    if (ep > (uint32_t)kBlockIn || ep < encpos || rlen > (uint32_t)kChunkTokens ||
+        olen > (uint32_t)kChunkPayloadMax)
+      return -1;
+    encpos = ep;
     pos += 12 + olen;
     if (pos > n) return -1;
   }

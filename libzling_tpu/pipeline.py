@@ -126,6 +126,7 @@ class ParallelEncoder:
             _MAX_CHUNKS, tokens.ctypes.data, _MAX_BLOCK_TOKENS,
             rlens.ctypes.data, encpos.ctypes.data)
         if n < 0:
+            self.tok.give_back(tokens)
             raise RuntimeError("tokenize overflow")
         return tokens, rlens[:n], encpos[:n], lv
 
@@ -184,56 +185,71 @@ class ParallelEncoder:
         out = self._out
         opos = 0
 
-        for b in range(nblocks):
-            tokens, rlens, encpos, used_levels = futures[b].result()
-            view = views[b]
-            self.dll.zlt_mtf_save(self.mtf, snapshot.ctypes.data)
-            while True:
-                # serial carry pass: raw literals -> MTF ranks (in place)
-                rl_arr = np.ascontiguousarray(rlens, np.int32)
-                self.dll.zlt_relabel_block(
-                    self.mtf, view.ctypes.data, tokens.ctypes.data,
-                    rl_arr.ctypes.data, len(rl_arr))
-                # entropy + adaptive-level validation
-                lvl = current_level
-                mispredict_at = -1
-                tpos = 0
-                prev_end = 0
-                opos_block = opos
-                for c in range(len(rlens)):
-                    if used_levels[c] != lvl:
-                        mispredict_at = c
+        consumed = 0
+        tokens = None
+        try:
+            for b in range(nblocks):
+                tokens, rlens, encpos, used_levels = futures[b].result()
+                consumed += 1
+                view = views[b]
+                self.dll.zlt_mtf_save(self.mtf, snapshot.ctypes.data)
+                while True:
+                    # serial carry pass: raw literals -> MTF ranks (in place)
+                    rl_arr = np.ascontiguousarray(rlens, np.int32)
+                    self.dll.zlt_relabel_block(
+                        self.mtf, view.ctypes.data, tokens.ctypes.data,
+                        rl_arr.ctypes.data, len(rl_arr))
+                    # entropy + adaptive-level validation
+                    lvl = current_level
+                    mispredict_at = -1
+                    tpos = 0
+                    prev_end = 0
+                    opos_block = opos
+                    for c in range(len(rlens)):
+                        if used_levels[c] != lvl:
+                            mispredict_at = c
+                            break
+                        out[opos] = 1
+                        olen = self.dll.zlt_entropy_encode(
+                            tokens.ctypes.data + 2 * tpos, int(rlens[c]),
+                            out.ctypes.data + opos + 13)
+                        ep, rl = int(encpos[c]), int(rlens[c])
+                        hdr = ep.to_bytes(4, "big") + rl.to_bytes(4, "big") \
+                            + olen.to_bytes(4, "big")
+                        out[opos + 1: opos + 13] = np.frombuffer(hdr, np.uint8)
+                        opos += 13 + olen
+                        lvl = 0 if olen / (ep - prev_end + 1) > 0.95 else level
+                        prev_end = ep
+                        tpos += rl
+                    if mispredict_at < 0:
+                        current_level = lvl
                         break
-                    out[opos] = 1
-                    olen = self.dll.zlt_entropy_encode(
-                        tokens.ctypes.data + 2 * tpos, int(rlens[c]),
-                        out.ctypes.data + opos + 13)
-                    ep, rl = int(encpos[c]), int(rlens[c])
-                    hdr = ep.to_bytes(4, "big") + rl.to_bytes(4, "big") + olen.to_bytes(4, "big")
-                    out[opos + 1: opos + 13] = np.frombuffer(hdr, np.uint8)
-                    opos += 13 + olen
-                    lvl = 0 if olen / (ep - prev_end + 1) > 0.95 else level
-                    prev_end = ep
-                    tpos += rl
-                if mispredict_at < 0:
-                    current_level = lvl
-                    break
-                opos = opos_block
-                # mispredicted: rebuild the schedule (validated prefix + the
-                # corrected level, predicting `lvl` style continuation) and
-                # re-tokenize this block serially
-                sched = np.full(_MAX_CHUNKS, level, np.int32)
-                sched[:mispredict_at] = used_levels[:mispredict_at]
-                sched[mispredict_at] = lvl
-                if lvl == 0:
-                    sched[mispredict_at:] = 0  # incompressible runs stay dropped
-                self.dll.zlt_mtf_load(self.mtf, snapshot.ctypes.data)
+                    opos = opos_block
+                    # mispredicted: rebuild the schedule (validated prefix +
+                    # the corrected level) and re-tokenize this block serially
+                    sched = np.full(_MAX_CHUNKS, level, np.int32)
+                    sched[:mispredict_at] = used_levels[:mispredict_at]
+                    sched[mispredict_at] = lvl
+                    if lvl == 0:
+                        sched[mispredict_at:] = 0  # incompressible runs stay dropped
+                    self.dll.zlt_mtf_load(self.mtf, snapshot.ctypes.data)
+                    self.tok.give_back(tokens)
+                    tokens, rlens, encpos, used_levels = self._tokenize_block(
+                        view, len(view), sched)
+                out[opos] = 0
+                opos += 1
                 self.tok.give_back(tokens)
-                tokens, rlens, encpos, used_levels = self._tokenize_block(
-                    view, len(view), sched)
-            out[opos] = 0
-            opos += 1
-            self.tok.give_back(tokens)
+                tokens = None
+        finally:
+            # on error, give back the in-flight buffer and those of
+            # unconsumed futures so the pool never drains permanently
+            if tokens is not None:
+                self.tok.give_back(tokens)
+            for fut in futures[consumed:]:
+                try:
+                    self.tok.give_back(fut.result()[0])
+                except Exception:
+                    pass
         return out[:opos].tobytes(), (self.mtf_state_bytes(), current_level)
 
     def mtf_state_bytes(self, reset: bool = False) -> bytes:
@@ -314,8 +330,12 @@ class ParallelDecoder:
             rlen = int.from_bytes(data[pos + 4:pos + 8], "big")
             olen = int.from_bytes(data[pos + 8:pos + 12], "big")
             pos += 12
+            # encpos must be non-decreasing within a block: the output region
+            # is sized by the block's LAST chunk, so a decreasing sequence
+            # would let an earlier chunk write past it
             if (rlen > BLOCK_SIZE_ROLZ or olen > BLOCK_SIZE_HUFFMAN
-                    or encpos > BLOCK_SIZE_IN or pos + olen > n):
+                    or encpos > BLOCK_SIZE_IN or encpos < last_encpos
+                    or pos + olen > n):
                 raise ValueError("zling: corrupt stream (bad chunk header)")
             chunks.append((block_id, encpos, rlen, pos, olen))
             last_encpos = encpos
@@ -338,19 +358,30 @@ class ParallelDecoder:
             self._load_mtf(carry)
         cur_block = -1
         opos = 0
-        for (bid, encpos, rlen, _off, _ol), fut in zip(chunks, futures):
-            tokens = fut.result()
-            if bid != cur_block:
-                self.dll.zlt_resolver_reset_block(self.resolver)
-                cur_block = bid
-                opos = 0
-            base = int(block_base[bid])
-            opos = self.dll.zlt_resolve_chunk(
-                self.resolver, tokens.ctypes.data, rlen, encpos,
-                out.ctypes.data + base, opos)
-            self.tok_free.put(tokens)
-            if opos < 0:
-                raise ValueError("zling: corrupt stream (resolve)")
+        consumed = 0
+        try:
+            for (bid, encpos, rlen, _off, _ol), fut in zip(chunks, futures):
+                tokens = fut.result()
+                consumed += 1
+                if bid != cur_block:
+                    self.dll.zlt_resolver_reset_block(self.resolver)
+                    cur_block = bid
+                    opos = 0
+                base = int(block_base[bid])
+                opos = self.dll.zlt_resolve_chunk(
+                    self.resolver, tokens.ctypes.data, rlen, encpos,
+                    out.ctypes.data + base, opos)
+                self.tok_free.put(tokens)
+                if opos < 0:
+                    raise ValueError("zling: corrupt stream (resolve)")
+        finally:
+            # on error, drain unconsumed futures so their pooled buffers come
+            # back -- a leaked buffer would hang every later decode
+            for fut in futures[consumed:]:
+                try:
+                    self.tok_free.put(fut.result())
+                except ValueError:
+                    pass
         return out[:total].tobytes(), self._save_mtf()
 
     def _save_mtf(self) -> bytes:
@@ -365,22 +396,23 @@ class ParallelDecoder:
 
 _ENC: ParallelEncoder | None = None
 _DEC: ParallelDecoder | None = None
-_LOCK = threading.Lock()
+# the singletons are stateful (shared MTF handles, shared scratch buffers),
+# so whole calls are serialized; internal 2-thread parallelism is unaffected
+_ENC_LOCK = threading.Lock()
+_DEC_LOCK = threading.Lock()
 
 
 def encode(data: bytes, level: int = 0) -> bytes:
     global _ENC
-    with _LOCK:
+    with _ENC_LOCK:
         if _ENC is None:
             _ENC = ParallelEncoder()
-        enc = _ENC
-    return enc.encode(bytes(data), level)
+        return _ENC.encode(bytes(data), level)
 
 
 def decode(data: bytes) -> bytes:
     global _DEC
-    with _LOCK:
+    with _DEC_LOCK:
         if _DEC is None:
             _DEC = ParallelDecoder()
-        dec = _DEC
-    return dec.decode(bytes(data))
+        return _DEC.decode(bytes(data))

@@ -29,7 +29,10 @@ def _write_ckpt(path: pathlib.Path, kind: str, in_off: int, out_off: int,
     else:
         blob = {"carry_mtf": base64.b64encode(carry).decode()}
     tmp = path.with_suffix(".tmp")
-    tmp.write_text(json.dumps({"kind": kind, "in_off": in_off, "out_off": out_off, **blob}))
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"kind": kind, "in_off": in_off, "out_off": out_off, **blob}))
+        f.flush()
+        os.fsync(f.fileno())
     tmp.replace(path)
 
 
@@ -64,6 +67,10 @@ def encode_file_resumable(src: str, dst: str, level: int = 0,
                 break
             part, carry = enc.encode_with_carry(chunk, level, carry)
             g.write(part)
+            # the checkpoint must never claim data the OS hasn't persisted:
+            # a crash between them would resume past a zero-filled hole
+            g.flush()
+            os.fsync(g.fileno())
             in_off += len(chunk)
             out_off += len(part)
             _write_ckpt(ckpt, "encode", in_off, out_off, carry)
@@ -116,6 +123,8 @@ def decode_file_resumable(src: str, dst: str,
             blob = data[batch[0][0]: batch[-1][1]]
             part, carry = dec.decode_with_carry(blob, carry)
             g.write(part)
+            g.flush()
+            os.fsync(g.fileno())
             span_idx += len(batch)
             out_off += len(part)
             _write_ckpt(ckpt, "decode", span_idx, out_off, carry)

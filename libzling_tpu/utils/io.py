@@ -2,19 +2,22 @@
 
 The analog of the reference's L1 layer (src/libzling_utils.h:48-87):
 ``ByteSource``/``ByteSink`` mirror Inputter/Outputter, ``CodecHooks`` mirrors
-ActionHandler (on_init / on_block / on_done).  The codec operates on 16 MB
-block granularity, so streaming callers never hold more than one block plus
-the compressed output in flight.
+ActionHandler (on_init / on_block / on_done).  ``stream_encode`` and
+``stream_decode`` run block-group-bounded: memory in flight is one 64 MB
+input group plus its compressed output, regardless of stream size, using the
+pipeline's carry API (the MTF state is the only cross-group state).
 """
 
 from __future__ import annotations
 
-import io
 import time
-from dataclasses import dataclass, field
-from typing import BinaryIO, Callable, Iterator
+from dataclasses import dataclass
+from typing import BinaryIO, Callable
 
-from ..tables import BLOCK_SIZE_IN
+from .. import pipeline
+from ..tables import BLOCK_SIZE_HUFFMAN, BLOCK_SIZE_IN
+
+_GROUP = 4 * BLOCK_SIZE_IN
 
 
 class ByteSource:
@@ -70,7 +73,7 @@ class FileSink(ByteSink):
 class CodecHooks:
     """Observability seam (ActionHandler analog, src/libzling_utils.h:64-87).
 
-    on_block fires once per processed 16 MB input block with
+    on_block fires once per processed block group with
     (bytes_in_so_far, bytes_out_so_far).
     """
 
@@ -81,54 +84,83 @@ class CodecHooks:
 
 def stream_encode(src: ByteSource, dst: ByteSink, level: int = 0,
                   backend: str = "auto", hooks: CodecHooks | None = None) -> tuple[int, int]:
-    """Streaming encode at block granularity.  Returns (bytes_in, bytes_out).
-
-    Note: zling streams are a concatenation of independent-per-block framed
-    sections EXCEPT for the MTF carry, so the whole stream must go through
-    one encoder instance; this helper feeds the pipeline encoder block
-    groups to bound memory.
-    """
-    # The MTF carry makes true incremental encode require one stateful pass;
-    # buffer the input in block-group windows and use the one-shot API per
-    # stream only when the input fits; otherwise fall back to full buffering.
-    from .. import api
-
+    """Block-group-bounded streaming encode.  Returns (bytes_in, bytes_out)."""
+    del backend  # streaming always uses the pipeline (carry API)
     t0 = time.time()
     if hooks and hooks.on_init:
         hooks.on_init()
-    data = bytearray()
+    enc = pipeline.ParallelEncoder()
+    carry = None
+    n_in = n_out = 0
     while not src.at_end():
-        chunk = src.read(BLOCK_SIZE_IN)
-        if not chunk:
+        group = src.read(_GROUP)
+        if not group:
             break
-        data.extend(chunk)
-    out = api.encode(bytes(data), level, backend)
-    dst.write(out)
-    if hooks and hooks.on_block:
-        hooks.on_block(len(data), len(out))
+        part, carry = enc.encode_with_carry(group, level, carry)
+        dst.write(part)
+        n_in += len(group)
+        n_out += len(part)
+        if hooks and hooks.on_block:
+            hooks.on_block(n_in, n_out)
     if hooks and hooks.on_done:
-        hooks.on_done(len(data), len(out), time.time() - t0)
-    return len(data), len(out)
+        hooks.on_done(n_in, n_out, time.time() - t0)
+    return n_in, n_out
+
+
+def _take_block_spans(buf: bytearray, at_end: bool) -> bytes:
+    """Pop complete input_block spans (through their stop flags) off buf."""
+    pos = 0
+    last_complete = 0
+    n = len(buf)
+    while pos < n:
+        flag = buf[pos]
+        pos += 1
+        if flag == 0:
+            last_complete = pos
+            continue
+        if flag != 1:
+            raise ValueError("zling: corrupt stream (bad framing)")
+        if pos + 12 > n:
+            break
+        olen = int.from_bytes(buf[pos + 8:pos + 12], "big")
+        if olen > BLOCK_SIZE_HUFFMAN:
+            raise ValueError("zling: corrupt stream (bad chunk header)")
+        if pos + 12 + olen > n:
+            break
+        pos += 12 + olen
+    if at_end and last_complete != n and pos >= n:
+        raise ValueError("zling: truncated stream (missing stop flag)")
+    out = bytes(buf[:last_complete])
+    del buf[:last_complete]
+    return out
 
 
 def stream_decode(src: ByteSource, dst: ByteSink, backend: str = "auto",
                   hooks: CodecHooks | None = None) -> tuple[int, int]:
-    """Streaming decode.  Returns (bytes_in, bytes_out)."""
-    from .. import api
-
+    """Block-group-bounded streaming decode.  Returns (bytes_in, bytes_out)."""
+    del backend
     t0 = time.time()
     if hooks and hooks.on_init:
         hooks.on_init()
-    data = bytearray()
-    while not src.at_end():
-        chunk = src.read(1 << 24)
-        if not chunk:
-            break
-        data.extend(chunk)
-    out = api.decode(bytes(data), backend)
-    dst.write(out)
-    if hooks and hooks.on_block:
-        hooks.on_block(len(data), len(out))
+    dec = pipeline.ParallelDecoder()
+    carry = None
+    pending = bytearray()
+    n_in = n_out = 0
+    done = False
+    while not done:
+        chunk = src.read(_GROUP)
+        n_in += len(chunk)
+        pending.extend(chunk)
+        done = src.at_end()
+        spans = _take_block_spans(pending, done)
+        if spans:
+            part, carry = dec.decode_with_carry(spans, carry)
+            dst.write(part)
+            n_out += len(part)
+            if hooks and hooks.on_block:
+                hooks.on_block(n_in, n_out)
+    if pending:
+        raise ValueError("zling: truncated stream (missing stop flag)")
     if hooks and hooks.on_done:
-        hooks.on_done(len(data), len(out), time.time() - t0)
-    return len(data), len(out)
+        hooks.on_done(n_in, n_out, time.time() - t0)
+    return n_in, n_out
