@@ -19,7 +19,8 @@ from . import api
 _USAGE = """\
 usage: python -m libzling_tpu <command> [source [target]] [--backend B] [--checksum]
  commands:
-  e, e0..e4   compress (level 0..4; plain 'e' = e0)
+  e, e0..e6   compress (level 0..4 match the reference; e5/e6 are deeper
+              searches producing smaller, still reference-decodable streams)
   d           decompress
  backends: auto (default), pipeline, native, spec, jax
 """
@@ -42,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # validate the command BEFORE opening (and truncating) any target file
     cmd = argv[0]
-    is_enc = cmd == "e" or (len(cmd) == 2 and cmd[0] == "e" and cmd[1] in "01234")
+    is_enc = cmd == "e" or (len(cmd) == 2 and cmd[0] == "e" and cmd[1] in "0123456")
     if not (is_enc or cmd == "d"):
         sys.stderr.write(_USAGE)
         return 1

@@ -81,7 +81,9 @@ def _exact_lengths(freq: np.ndarray, max_codes: int, max_len: int) -> np.ndarray
 
 def encode(data: bytes, level: int = 0) -> bytes:
     if not 0 <= level <= 4:
-        raise ValueError("level must be 0..4")
+        raise ValueError(
+            "the device backend supports levels 0..4 (its chain-walk loop "
+            "bounds are static); use the pipeline backend for e5/e6")
     if not data:
         return b""
     out = bytearray()

@@ -96,9 +96,15 @@ struct MtfNextTable {
 };
 const MtfNextTable g_mtf_next;
 
-// per-level search parameters (reference src/libzling_lz.cpp:128-137)
+// per-level search parameters (reference src/libzling_lz.cpp:128-137).
+// Levels 5-6 are framework extensions: deeper chain walks and lazy probes
+// than the reference offers.  Their streams use only format features the
+// reference decoder understands, so they remain fully reference-decodable --
+// just smaller than e4 output.
 struct LevelParams { int depth, lazy1, lazy2; };
-const LevelParams g_levels[5] = {{2, 1, 0}, {4, 1, 0}, {6, 2, 0}, {8, 3, 1}, {16, 4, 2}};
+const LevelParams g_levels[7] = {{2, 1, 0}, {4, 1, 0}, {6, 2, 0}, {8, 3, 1}, {16, 4, 2},
+                                 {48, 8, 4}, {128, 16, 8}};
+constexpr int kMaxLevel = 6;
 
 inline uint32_t load32(const uint8_t* p) {
   uint32_t v;
@@ -762,7 +768,7 @@ void zlt_decoder_free(void* h) { delete (DecodeEngine*)h; }
 // -1 if cap is too small (use zlt_encode_bound), -3 bad args.
 long long zlt_encode_with(void* h, const uint8_t* in, size_t n, int level,
                           uint8_t* out, size_t cap) {
-  if (!h || level < 0 || level > 4 || (!in && n)) return -3;
+  if (!h || level < 0 || level > kMaxLevel || (!in && n)) return -3;
   EncodeEngine* eng = (EncodeEngine*)h;
   eng->reset_stream();
   return eng->run(in, n, level, out, cap);
@@ -770,7 +776,7 @@ long long zlt_encode_with(void* h, const uint8_t* in, size_t n, int level,
 
 // One-shot wrapper kept for simple callers.
 int zlt_encode(const uint8_t* in, size_t n, int level, uint8_t* out, size_t* out_len) {
-  if (level < 0 || level > 4 || (!in && n) || !out_len) return -3;
+  if (level < 0 || level > kMaxLevel || (!in && n) || !out_len) return -3;
   EncodeEngine eng;
   long long r = eng.run(in, n, level, out, *out_len);
   if (r < 0) return -2;

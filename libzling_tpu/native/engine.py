@@ -71,8 +71,8 @@ def _lib() -> ctypes.CDLL:
 
 
 def encode(data: bytes, level: int = 0) -> bytes:
-    if not 0 <= level <= 4:
-        raise ValueError("level must be 0..4")
+    if not 0 <= level <= 6:
+        raise ValueError("level must be 0..6")
     dll = _lib()
     cap = dll.zlt_encode_bound(len(data))
     out = (ctypes.c_uint8 * cap)()

@@ -173,9 +173,23 @@ def decode_lut(lengths: jnp.ndarray, max_codelen: int) -> jnp.ndarray:
 # device: encoder bit-packing
 # ---------------------------------------------------------------------------
 
-_J_MATCHIDX_CODE = jnp.asarray(MATCHIDX_CODE, dtype=jnp.int32)
-_J_MATCHIDX_BASE = jnp.asarray(MATCHIDX_BASE, dtype=jnp.int32)
-_J_MATCHIDX_BLEN = jnp.asarray(MATCHIDX_BLEN, dtype=jnp.int32)
+# kept as host numpy so importing this module never initializes a device
+# backend (the constants embed into jitted programs at trace time)
+_NP_MATCHIDX_CODE = np.asarray(MATCHIDX_CODE, dtype=np.int32)
+_NP_MATCHIDX_BASE = np.asarray(MATCHIDX_BASE, dtype=np.int32)
+_NP_MATCHIDX_BLEN = np.asarray(MATCHIDX_BLEN, dtype=np.int32)
+
+
+def _J_MATCHIDX_CODE():
+    return jnp.asarray(_NP_MATCHIDX_CODE)
+
+
+def _J_MATCHIDX_BASE():
+    return jnp.asarray(_NP_MATCHIDX_BASE)
+
+
+def _J_MATCHIDX_BLEN():
+    return jnp.asarray(_NP_MATCHIDX_BLEN)
 
 
 @jax.jit
@@ -187,7 +201,7 @@ def unit_histograms(sym: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray):
     """
     w = valid.astype(jnp.uint32)
     freq1 = jnp.zeros(HUFFMAN_CODES_1, jnp.uint32).at[sym].add(w, mode="drop")
-    code2 = _J_MATCHIDX_CODE[jnp.clip(idx, 0, 4095)]
+    code2 = _J_MATCHIDX_CODE()[jnp.clip(idx, 0, 4095)]
     is_match = valid & (sym >= 258)
     freq2 = jnp.zeros(HUFFMAN_CODES_2, jnp.uint32).at[code2].add(
         is_match.astype(jnp.uint32), mode="drop")
@@ -205,12 +219,12 @@ def pack_units(sym, idx, valid, len1, enc1, len2, enc2, out_words: int):
     sym = sym.astype(jnp.int32)
     l1 = len1[sym].astype(jnp.uint32)
     c1 = enc1[sym].astype(jnp.uint32)
-    code2 = _J_MATCHIDX_CODE[jnp.clip(idx, 0, 4095)]
+    code2 = _J_MATCHIDX_CODE()[jnp.clip(idx, 0, 4095)]
     is_match = sym >= 258
     l2 = jnp.where(is_match, len2[code2], 0).astype(jnp.uint32)
     c2 = jnp.where(is_match, enc2[code2], 0).astype(jnp.uint32)
-    lx = jnp.where(is_match, _J_MATCHIDX_BLEN[code2], 0).astype(jnp.uint32)
-    cx = jnp.where(is_match, (idx - _J_MATCHIDX_BASE[code2]).astype(jnp.uint32), 0)
+    lx = jnp.where(is_match, _J_MATCHIDX_BLEN()[code2], 0).astype(jnp.uint32)
+    cx = jnp.where(is_match, (idx - _J_MATCHIDX_BASE()[code2]).astype(jnp.uint32), 0)
 
     bits = c1 | (c2 << l1) | (cx << (l1 + l2))
     nbits = jnp.where(valid, l1 + l2 + lx, 0)
@@ -280,9 +294,9 @@ def _advance_flat(bit_pos, cid, words, lut1, lut2, len1, len2):
     code2 = lut2[cid * 256 + (rest & 0xFF).astype(jnp.int32)].astype(jnp.int32)
     code2_safe = jnp.clip(code2, 0, HUFFMAN_CODES_2 - 1)
     l2 = len2[cid, code2_safe].astype(jnp.uint32)
-    lx = _J_MATCHIDX_BLEN[code2_safe].astype(jnp.uint32)
+    lx = _J_MATCHIDX_BLEN()[code2_safe].astype(jnp.uint32)
     extra = (rest >> l2) & ((jnp.uint32(1) << lx) - jnp.uint32(1))
-    idxtok = _J_MATCHIDX_BASE[code2_safe] + extra.astype(jnp.int32)
+    idxtok = _J_MATCHIDX_BASE()[code2_safe] + extra.astype(jnp.int32)
 
     is_match = sym >= 258
     nbits = l1 + jnp.where(is_match, l2 + lx, 0)

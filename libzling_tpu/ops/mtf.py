@@ -24,7 +24,12 @@ import numpy as np
 
 from ..tables import MTF_INIT, MTF_NEXT
 
-_J_MTF_NEXT = jnp.asarray(MTF_NEXT, dtype=jnp.int32)
+_NP_MTF_NEXT = np.asarray(MTF_NEXT, dtype=np.int32)
+
+
+def _J_MTF_NEXT():
+    # lazy so importing never initializes a device backend
+    return jnp.asarray(_NP_MTF_NEXT)
 
 
 def initial_state() -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -68,7 +73,7 @@ def encode_relabel(rank2sym, sym2rank, lit_ctx, lit_raw, lit_valid):
         idx = jnp.where(active, pos, L)           # OOB -> dropped
         sym = raw_s[jnp.clip(idx, 0, L - 1)]      # k-th literal per context
         i = s2r[ctxs, sym]                        # current rank of symbol
-        j = _J_MTF_NEXT[i]
+        j = _J_MTF_NEXT()[i]
         other = r2s[ctxs, j]                      # symbol currently at rank j
         # masked swaps via OOB-drop scatters
         c_w = jnp.where(active, ctxs, 256)

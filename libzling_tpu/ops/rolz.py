@@ -319,7 +319,7 @@ def resolve_chunk(state: DecState, mtf_table, tokens, n_tokens, out, opos0, encp
             ipos, opos, state, mtf_table, word_mru, out, bad = args
             ctx = out[opos - 1].astype(jnp.int32)
             c = mtf_table[ctx, t]
-            j = _J_MTF_NEXT[t]
+            j = _J_MTF_NEXT()[t]
             other = mtf_table[ctx, j]
             mtf_table = mtf_table.at[ctx, t].set(other).at[ctx, j].set(c)
             out = out.at[opos].set(c.astype(jnp.uint8))

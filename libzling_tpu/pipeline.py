@@ -146,8 +146,8 @@ class ParallelEncoder:
         resumable at block boundaries given the 128 KB MTF state
         (SURVEY.md section 5).
         """
-        if not 0 <= level <= 4:
-            raise ValueError("level must be 0..4")
+        if not 0 <= level <= 6:
+            raise ValueError("level must be 0..6")
         if not data:
             state = carry if carry is not None else (self.mtf_state_bytes(reset=True), level)
             return b"", state

@@ -674,9 +674,11 @@ class EncodeStats:
 
 
 def encode(data: bytes, level: int = 0, stats: EncodeStats | None = None) -> bytes:
-    """Compress ``data``; bit-exact with baidu::zling::Encode (src/libzling.cpp:174-291)."""
-    if not 0 <= level <= 4:
-        raise ValueError("level must be 0..4")
+    """Compress ``data``; bit-exact with baidu::zling::Encode (src/libzling.cpp:174-291)
+    at levels 0-4; levels 5-6 are framework extensions (deeper search,
+    reference-decodable output)."""
+    if level not in LEVEL_PARAMS:
+        raise ValueError("level must be 0..6")
     out = bytearray()
     enc = RolzEncoder()
     current_level = level

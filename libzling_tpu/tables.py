@@ -112,4 +112,8 @@ LEVEL_PARAMS = {
     2: (6, 2, 0),
     3: (8, 3, 1),
     4: (16, 4, 2),
+    # framework extensions: deeper search, still reference-decodable
+    5: (48, 8, 4),
+    6: (128, 16, 8),
 }
+MAX_LEVEL = 6

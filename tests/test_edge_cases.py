@@ -57,3 +57,20 @@ def test_sentinel_edge_tail_matchable(reference_binary):
     for level in (0, 4):
         expect = ref_encode(reference_binary, data, level)
         assert engine.encode(data, level) == expect
+
+
+@pytest.mark.parametrize("level", [5, 6])
+def test_extended_levels_beat_reference(reference_binary, level):
+    # e5/e6 are framework extensions: deeper search than the reference's
+    # best level, still decodable by the reference binary
+    data = _mixed_blob(400000, seed=1)
+    ref_best = ref_encode(reference_binary, data, 4)
+    stream = pipeline.encode(data, level)
+    assert len(stream) < len(ref_best)
+    assert ref_decode(reference_binary, stream) == data
+    assert pipeline.decode(stream) == data
+    # spec agrees with the native engine on extended levels
+    from libzling_tpu import spec
+
+    small = _mixed_blob(30000, seed=2)
+    assert spec.encode(small, level) == engine.encode(small, level)
