@@ -49,13 +49,15 @@ def bench_reference(data_path: pathlib.Path, level: int):
             return None
     enc_out = "/tmp/zlt_bench_ref.z"
     dec_out = "/tmp/zlt_bench_ref.out"
-    t0 = time.perf_counter()
-    subprocess.run([str(ref), f"e{level}", str(data_path), enc_out],
-                   check=True, capture_output=True)
-    t_enc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    subprocess.run([str(ref), "d", enc_out, dec_out], check=True, capture_output=True)
-    t_dec = time.perf_counter() - t0
+    t_enc = t_dec = float("inf")
+    for _ in range(2):  # best-of-2: this host's timing is noisy
+        t0 = time.perf_counter()
+        subprocess.run([str(ref), f"e{level}", str(data_path), enc_out],
+                       check=True, capture_output=True)
+        t_enc = min(t_enc, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        subprocess.run([str(ref), "d", enc_out, dec_out], check=True, capture_output=True)
+        t_dec = min(t_dec, time.perf_counter() - t0)
     size = pathlib.Path(enc_out).stat().st_size
     return {"enc_mbps": SIZE / t_enc / 1e6, "dec_mbps": SIZE / t_dec / 1e6,
             "bytes": size}
@@ -72,11 +74,13 @@ def main() -> None:
     from libzling_tpu.native import engine
 
     results: dict = {"levels": {}, "reference": {}}
-    for level in (0, 4):
-        log(f"reference e{level}...")
-        ref = bench_reference(data_path, level)
-        if ref:
-            results["reference"][f"e{level}"] = ref
+    for level in (0, 4, 5):
+        ref = None
+        if level <= 4:
+            log(f"reference e{level}...")
+            ref = bench_reference(data_path, level)
+            if ref:
+                results["reference"][f"e{level}"] = ref
 
         log(f"pipeline e{level}...")
         stream = pipeline.encode(data, level)  # warm-up (page faults, pools)
@@ -87,6 +91,11 @@ def main() -> None:
         if ref:
             assert len(stream) == ref["bytes"], (
                 f"compressed size mismatch vs reference: {len(stream)} != {ref['bytes']}")
+        if level == 5:
+            # extended level: must beat the reference's best size
+            ref4 = results["reference"].get("e4")
+            if ref4:
+                assert len(stream) < ref4["bytes"], "e5 must out-compress reference e4"
         results["levels"][f"e{level}"] = {
             "enc_mbps": round(SIZE / t_enc / 1e6, 1),
             "dec_mbps": round(SIZE / t_dec / 1e6, 1),
@@ -95,14 +104,19 @@ def main() -> None:
         }
         log(f"  e{level}: enc {results['levels'][f'e{level}']['enc_mbps']} MB/s "
             f"dec {results['levels'][f'e{level}']['dec_mbps']} MB/s "
-            f"ratio {results['levels'][f'e{level}']['ratio_pct']}% (bit-exact)")
+            f"ratio {results['levels'][f'e{level}']['ratio_pct']}%"
+            + (" (bit-exact)" if level <= 4 else " (extended level)"))
 
-    # device entropy-stage throughput on the real chip (jax backend stages)
+    # report the accelerator if it responds; the axon tunnel can wedge for
+    # minutes, and jax.devices() HANGS rather than raising, so probe it in a
+    # disposable subprocess with a hard timeout
     device = None
     try:
-        import jax
-
-        device = str(jax.devices()[0])
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            capture_output=True, text=True, timeout=90)
+        if r.returncode == 0 and r.stdout.strip():
+            device = r.stdout.strip().splitlines()[-1]
     except Exception:
         pass
     results["device"] = device
