@@ -1,0 +1,416 @@
+"""Pallas TPU kernel: per-chunk Huffman entropy decode.
+
+The zling payload is a bit-serial stream (LSB-first canonical Huffman over
+two alphabets, reference src/libzling.cpp:368-402).  XLA cannot run it fast:
+measured on the v5e, *any* XLA gather runs at ~0.1 G elem/s, so both the
+speculative segment decoder (ops/huffman.py) and pointer-doubling boundary
+resolution are gather-bound ~1000x off the vector ceiling (DESIGN.md
+sections 1, 3).  The TPU-native answer is the scalar core + SMEM, which this
+kernel uses:
+
+  * one grid step per chunk (chunks decode independently: each has its own
+    tables, reference src/libzling.cpp:212-229) -- parallel across cores on
+    real multi-core parts, serialized on the single-core bench chip;
+  * the chunk's decode tables live in SMEM where data-dependent scalar
+    indexing is legal and ~1 load/cycle: a 12-bit packed LUT (sym | len<<16)
+    plus canonical tier tables for the rare 13..15-bit codes, and an 8-bit
+    packed LUT for the matchidx alphabet (len | bitlen<<8 | base<<16);
+  * the payload streams through SMEM in 16 KB slabs via async DMA from HBM;
+    decoded tokens accumulate in an SMEM ring and flush to HBM in 8192-token
+    DMA bursts at provably 128-aligned offsets (Mosaic requires alignment
+    proofs for dynamic DMA offsets; see pl.multiple_of below).
+
+Measured ~30-40 M scalar walk steps/s on the v5e scalar core -- ~50-80x the
+XLA path for this stage.
+
+STATUS: bit-exact in interpreter mode (tests/test_entropy_kernel.py covers
+the slab-refill, burst-flush, leftover-carry and >LUT_BITS fallback paths).
+On the compiled v5e path the decode loop itself is verified correct (bit
+consumption matches the payload exactly) but the flushed token bursts land
+wrong -- an output-DMA interaction still being isolated (minimal repros of
+the same grid/flush pattern pass; see tools/bench_device.py).
+
+Host-side table construction is NumPy (vectorized across chunks); the
+windows-to-symbol classification mirrors ZlingMakeDecodeTable semantics
+(reference src/libzling_huffman.cpp:114-153) without copying its code: we
+classify every window value by canonical tier ranges instead of filling by
+stride.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tables import (
+    HUFFMAN_CODES_1,
+    HUFFMAN_CODES_2,
+    HUFFMAN_MAX_LEN_1,
+    HUFFMAN_MAX_LEN_2,
+    MATCHIDX_BASE,
+    MATCHIDX_BLEN,
+)
+
+LUT_BITS = 12                 # fast-path window width for alphabet 1
+SLAB_WORDS = 4096             # 16 KB payload slab in SMEM
+FLUSH_TOKENS = 8192           # tokens per output DMA burst
+OUT_PAD = 2 * FLUSH_TOKENS    # final-flush overshoot room per chunk
+MAX_TOKENS = 262144           # chunk token budget (kBlockSizeRolz)
+
+
+# ---------------------------------------------------------------------------
+# host: packed table construction (vectorized over chunks)
+# ---------------------------------------------------------------------------
+
+
+def _bitrev(v: np.ndarray, bits: int) -> np.ndarray:
+    v = v.astype(np.uint32)
+    r = np.zeros_like(v)
+    for _ in range(bits):
+        r = (r << 1) | (v & 1)
+        v >>= 1
+    return r
+
+
+def _canonical_tiers(lengths: np.ndarray, max_len: int):
+    """Per-chunk canonical code metadata.
+
+    lengths: [C, n].  Returns (start, count, base, order):
+      start[C, L+1]: first MSB-first code value of each length tier;
+      count[C, L+1]: symbols per tier;  base[C, L+1]: tier offset into order;
+      order[C, n]: symbols sorted by (length, symbol id), zero-lengths last.
+    """
+    C, n = lengths.shape
+    L = max_len
+    onehot = (lengths[..., None] == np.arange(L + 1)).astype(np.int64)  # [C,n,L+1]
+    count = onehot.sum(axis=1)
+    count[:, 0] = 0
+    start = np.zeros((C, L + 1), np.int64)
+    c = np.zeros(C, np.int64)
+    for l in range(1, L + 1):
+        start[:, l] = c
+        c = (c + count[:, l]) * 2
+    base = np.cumsum(count, axis=1) - count
+    key = np.where(lengths > 0, lengths, L + 1) * n + np.arange(n)
+    order = np.argsort(key, axis=1).astype(np.int32)
+    return start, count, base, order
+
+
+def _classify_windows(start, count, base, order, max_len: int, lut_bits: int):
+    """LUT[C, 2**lut_bits] -> sym | len << 16 (or -1 for miss / longer code).
+
+    A window w (LSB-first peek) decodes as the unique length l whose
+    MSB-first tier range contains bitrev(w)'s top l bits.
+    """
+    C = start.shape[0]
+    W = 1 << lut_bits
+    v = _bitrev(np.arange(W, dtype=np.uint32), lut_bits).astype(np.int64)  # MSB view
+    lut = np.full((C, W), -1, np.int32)
+    found = np.zeros((C, W), bool)
+    for l in range(1, min(max_len, lut_bits) + 1):
+        top = v >> (lut_bits - l)
+        s = start[:, l][:, None]
+        cnt = count[:, l][:, None]
+        hit = (~found) & (top >= s) & (top < s + cnt)
+        pos = np.clip(base[:, l][:, None] + top - s, 0, order.shape[1] - 1)
+        sym = np.take_along_axis(order, pos.astype(np.int64), axis=1)
+        lut = np.where(hit, sym | (l << 16), lut)
+        found |= hit
+    return lut
+
+
+def build_chunk_tables(len1: np.ndarray, len2: np.ndarray,
+                       n_words: np.ndarray, word_base: np.ndarray,
+                       rlens: np.ndarray):
+    """Pack per-chunk decode tables for the kernel.
+
+    len1 [C, 514], len2 [C, 32]: code lengths from the chunk headers.
+    n_words[C]: payload words incl. >=2 zero-padding words (the bit reader
+    may legitimately peek past the last payload byte, reference sentinel
+    semantics src/libzling.cpp:369-374).  word_base[C]: chunk start in the
+    flat word array, multiples of 128.  rlens[C]: token counts.
+
+    Returns (meta [C,8,128] i32, order1 [C,8,128] i32, lut1 [C,8,512] i32,
+    lut2 [C,8,128] i32).
+    """
+    C = len1.shape[0]
+    s1, c1, b1, o1 = _canonical_tiers(len1, HUFFMAN_MAX_LEN_1)
+    lut1 = _classify_windows(s1, c1, b1, o1, HUFFMAN_MAX_LEN_1, LUT_BITS)
+
+    s2, c2, b2, o2 = _canonical_tiers(len2, HUFFMAN_MAX_LEN_2)
+    # full 8-bit LUT for alphabet 2 -> len2 | matchidx_bitlen << 8 | base << 16
+    lut2sym = _classify_windows(s2, c2, b2, o2, HUFFMAN_MAX_LEN_2, HUFFMAN_MAX_LEN_2)
+    blen = np.asarray(MATCHIDX_BLEN, np.int32)
+    mbase = np.asarray(MATCHIDX_BASE, np.int32)
+    sym2 = lut2sym & 0xFFFF
+    l2 = lut2sym >> 16
+    lut2 = np.where(lut2sym >= 0,
+                    l2 | (blen[np.clip(sym2, 0, 31)] << 8)
+                    | (mbase[np.clip(sym2, 0, 31)] << 16),
+                    -1).astype(np.int32)
+
+    meta = np.zeros((C, 8, 128), np.int32)
+    meta[:, 0, 0] = n_words
+    meta[:, 0, 1] = rlens
+    meta[:, 0, 2] = word_base
+    meta[:, 1, 1:HUFFMAN_MAX_LEN_1 + 1] = s1[:, 1:].astype(np.int32)
+    meta[:, 2, 1:HUFFMAN_MAX_LEN_1 + 1] = c1[:, 1:].astype(np.int32)
+    meta[:, 3, 1:HUFFMAN_MAX_LEN_1 + 1] = b1[:, 1:].astype(np.int32)
+
+    order1 = np.zeros((C, 1024), np.int32)
+    order1[:, :HUFFMAN_CODES_1] = o1
+    lut2p = np.full((C, 1024), -1, np.int32)
+    lut2p[:, :256] = lut2
+    return (meta, order1.reshape(C, 8, 128),
+            lut1.reshape(C, 8, 512), lut2p.reshape(C, 8, 128))
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, n)
+
+
+def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
+                         words_ref, out_ref, status_ref,
+                         slab_ref, obuf_ref, sem_in, sem_out,
+                         *, slab_words: int, flush_tokens: int,
+                         out_tokens: int):
+    c = pl.program_id(0)
+    out_base = c * out_tokens
+    n_words = meta_ref[0, 0, 0]
+    rlen = meta_ref[0, 0, 1]
+    word_base = meta_ref[0, 0, 2]
+    end_bits = n_words * 32
+
+    def load_slab(woff):
+        # woff is chunk-relative, 128-word aligned by construction
+        src = pl.multiple_of(word_base + woff, 128)
+        cp = pltpu.make_async_copy(words_ref.at[0, pl.ds(src, slab_words)],
+                                   slab_ref.at[0, :], sem_in)
+        cp.start()
+        cp.wait()
+
+    load_slab(0)
+
+    def window(bit_pos, woff):
+        w = _srl(bit_pos, 5)
+        sub = bit_pos & 31
+        i = w - woff
+        w0 = slab_ref[0, i]
+        w1 = slab_ref[0, i + 1]
+        return jnp.where(sub == 0, w0,
+                         _srl(w0, sub) | (w1 << (32 - jnp.maximum(sub, 1))))
+
+    def fallback(win):
+        # canonical classify for code lengths LUT_BITS+1 .. 15 (rare symbols)
+        v = win & 0x7FFF
+        # 15-bit reversal via 16-bit butterfly then >> 1
+        v = (_srl(v & 0xFF00, 8)) | ((v & 0x00FF) << 8)
+        v = (_srl(v & 0xF0F0, 4)) | ((v & 0x0F0F) << 4)
+        v = (_srl(v & 0xCCCC, 2)) | ((v & 0x3333) << 2)
+        v = (_srl(v & 0xAAAA, 1)) | ((v & 0x5555) << 1)
+        v15 = _srl(v, 1)
+        sym = jnp.int32(-1)
+        l1 = jnp.int32(0)
+        for l in range(LUT_BITS + 1, HUFFMAN_MAX_LEN_1 + 1):
+            top = _srl(v15, HUFFMAN_MAX_LEN_1 - l)
+            s = meta_ref[0, 1, l]
+            cnt = meta_ref[0, 2, l]
+            hit = (l1 == 0) & (top >= s) & (top < s + cnt)
+            pos = meta_ref[0, 3, l] + top - s
+            pos = jnp.clip(jnp.where(hit, pos, 0), 0, 1023)
+            cand = order_ref[0, _srl(pos, 7), pos & 127]
+            sym = jnp.where(hit, cand, sym)
+            l1 = jnp.where(hit, l, l1)
+        return sym, l1
+
+    def body(carry):
+        bit_pos, emitted, obuf_n, nflushed, woff, bad = carry
+
+        # keep the slab covering [w, w+3]: one unit reads at most 3 words on
+        need = _srl(bit_pos, 5) + 3 >= woff + slab_words
+
+        @pl.when(need)
+        def _():
+            load_slab((_srl(bit_pos, 5) >> 7) << 7)
+
+        woff = jnp.where(need, (_srl(bit_pos, 5) >> 7) << 7, woff)
+
+        # drain the token buffer in aligned 8192-token bursts
+        do_flush = obuf_n >= flush_tokens
+
+        @pl.when(do_flush)
+        def _():
+            # out is flat [1, C * out_tokens]: single-row slices of tiled 2-D
+            # HBM arrays are not DMA-able (sublane tiling), flat offsets are
+            dst = pl.multiple_of(out_base + nflushed * flush_tokens, 128)
+            cp = pltpu.make_async_copy(obuf_ref.at[0, pl.ds(0, flush_tokens)],
+                                       out_ref.at[0, pl.ds(dst, flush_tokens)],
+                                       sem_out)
+            cp.start()
+            cp.wait()
+
+            @pl.when(obuf_n > flush_tokens)
+            def _():
+                obuf_ref[0, 0] = obuf_ref[0, flush_tokens]
+
+        nflushed = nflushed + do_flush.astype(jnp.int32)
+        obuf_n = jnp.where(do_flush, obuf_n - flush_tokens, obuf_n)
+
+        # ---- alphabet-1 symbol
+        win = window(bit_pos, woff)
+        e = lut1_ref[0, _srl(win & 0xFFF, 9), win & 0x1FF]
+        sym_f = e & 0xFFFF
+        l1_f = _srl(e, 16) & 31
+        sym, l1 = jax.lax.cond(e < 0, lambda: fallback(win),
+                               lambda: (sym_f, l1_f))
+        bad = bad | (l1 == 0)
+        bit_pos = bit_pos + l1
+        obuf_ref[0, obuf_n] = sym
+        obuf_n = obuf_n + 1
+        emitted = emitted + 1
+
+        # ---- matchidx (code2 + extra bits) for match symbols.  The branch
+        # computes pure values only (SMEM reads are legal inside lax.cond);
+        # the token store goes through @pl.when below.
+        is_match = (sym >= 258) & (emitted < rlen)
+
+        def match_fields(bp):
+            win2 = window(bp, woff)
+            e2 = lut2_ref[0, _srl(win2 & 0xFF, 7), win2 & 0x7F]
+            l2 = e2 & 0xFF
+            blen = _srl(e2, 8) & 0xFF
+            mbase = _srl(e2, 16)
+            bp2 = bp + l2
+            win3 = window(bp2, woff)
+            extra = win3 & ((jnp.int32(1) << blen) - 1)
+            return bp2 + blen, mbase + extra, e2 < 0
+
+        bit_pos, idxtok, bad2 = jax.lax.cond(
+            is_match, match_fields,
+            lambda bp: (bp, jnp.int32(0), jnp.bool_(False)), bit_pos)
+        bad = bad | bad2
+
+        @pl.when(is_match)
+        def _():
+            obuf_ref[0, obuf_n] = idxtok
+
+        obuf_n = obuf_n + is_match.astype(jnp.int32)
+        emitted = emitted + is_match.astype(jnp.int32)
+
+        bad = bad | (bit_pos > end_bits)
+        return bit_pos, emitted, obuf_n, nflushed, woff, bad
+
+    def cond(carry):
+        bit_pos, emitted, obuf_n, nflushed, woff, bad = carry
+        return (emitted < rlen) & ~bad
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.int32(0), jnp.bool_(False))
+    bit_pos, emitted, obuf_n, nflushed, woff, bad = jax.lax.while_loop(
+        cond, body, init)
+
+    # final flush: one full burst starting at the last aligned boundary
+    # (trailing entries beyond obuf_n are garbage; out has OUT_PAD slack)
+    @pl.when(obuf_n > 0)
+    def _():
+        dst = pl.multiple_of(out_base + nflushed * flush_tokens, 128)
+        cp = pltpu.make_async_copy(obuf_ref.at[0, pl.ds(0, flush_tokens)],
+                                   out_ref.at[0, pl.ds(dst, flush_tokens)],
+                                   sem_out)
+        cp.start()
+        cp.wait()
+
+    status_ref[0, 0, 0] = emitted
+    status_ref[0, 0, 1] = bit_pos
+    status_ref[0, 0, 2] = bad.astype(jnp.int32)
+    status_ref[0, 0, 3] = nflushed
+    status_ref[0, 0, 4] = obuf_n
+    status_ref[0, 0, 5] = obuf_ref[0, 0]
+    status_ref[0, 0, 6] = obuf_ref[0, 1]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "slab_words", "flush_tokens", "max_tokens"))
+def _decode_call(meta, order1, lut1, lut2, words, interpret: bool = False,
+                 slab_words: int = SLAB_WORDS, flush_tokens: int = FLUSH_TOKENS,
+                 max_tokens: int = MAX_TOKENS):
+    C = meta.shape[0]
+    out_tokens = max_tokens + 2 * flush_tokens
+    grid = (C,)
+    kernel = pl.pallas_call(
+        functools.partial(_decode_chunk_kernel, slab_words=slab_words,
+                          flush_tokens=flush_tokens, out_tokens=out_tokens),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 512), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, C * out_tokens), jnp.int32),
+            jax.ShapeDtypeStruct((C, 8, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, slab_words), jnp.int32),
+            pltpu.SMEM((1, flush_tokens + 8), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )
+    tokens_flat, status = kernel(meta, order1, lut1, lut2, words)
+    return tokens_flat.reshape(C, out_tokens), status
+
+
+def decode_chunks(len1: np.ndarray, len2: np.ndarray, payloads: list[bytes],
+                  rlens: np.ndarray, interpret: bool = False,
+                  slab_words: int = SLAB_WORDS, flush_tokens: int = FLUSH_TOKENS,
+                  max_tokens: int = MAX_TOKENS):
+    """Decode all chunks' bitstreams to token arrays on device.
+
+    len1/len2: [C, 514]/[C, 32] code lengths (headers already stripped).
+    payloads: per-chunk bitstream bytes (without the 273-byte table header).
+    Returns (tokens [C, MAX_TOKENS + OUT_PAD] i32 device array, status
+    [C, 8, 128]: [c,0,0]=emitted, [c,0,1]=bits consumed, [c,0,2]=bad).
+    """
+    C = len(payloads)
+    word_base = np.zeros(C, np.int64)
+    n_words = np.zeros(C, np.int64)
+    flat = []
+    base = 0
+    for i, p in enumerate(payloads):
+        # pad to 512 B so every chunk start is 128-word aligned, plus one
+        # extra 512 B zero block so the reader's peek-past-end stays in range
+        nb = (len(p) + 511) // 512 * 512 + 512
+        flat.append(np.frombuffer(p + bytes(nb - len(p)), np.uint8))
+        word_base[i] = base
+        n_words[i] = len(p) // 4 + 2  # payload words + legal 8-byte overpeek
+        base += nb // 4
+    # one trailing slab so the final slab DMA never reads out of bounds
+    flat.append(np.zeros(slab_words * 4, np.uint8))
+    words = np.concatenate(flat).view("<u4").astype(np.int32)
+
+    meta, order1, lut1, lut2 = build_chunk_tables(
+        np.asarray(len1, np.int64), np.asarray(len2, np.int64),
+        n_words, word_base, np.asarray(rlens, np.int64))
+    tokens, status = _decode_call(
+        jnp.asarray(meta), jnp.asarray(order1), jnp.asarray(lut1),
+        jnp.asarray(lut2), jnp.asarray(words[None, :]), interpret=interpret,
+        slab_words=slab_words, flush_tokens=flush_tokens, max_tokens=max_tokens)
+    return tokens, status
