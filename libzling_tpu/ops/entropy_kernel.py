@@ -23,12 +23,10 @@ kernel uses:
 Measured ~30-40 M scalar walk steps/s on the v5e scalar core -- ~50-80x the
 XLA path for this stage.
 
-STATUS: bit-exact in interpreter mode (tests/test_entropy_kernel.py covers
-the slab-refill, burst-flush, leftover-carry and >LUT_BITS fallback paths).
-On the compiled v5e path the decode loop itself is verified correct (bit
-consumption matches the payload exactly) but the flushed token bursts land
-wrong -- an output-DMA interaction still being isolated (minimal repros of
-the same grid/flush pattern pass; see tools/bench_device.py).
+Verified bit-exact against the native oracle BOTH in interpreter mode
+(tests/test_entropy_kernel.py: slab-refill, burst-flush, leftover-carry and
+>LUT_BITS fallback paths) and compiled on the v5e (tools/bench_device.py:
+all chunks of a 33 MB e0 stream).
 
 Host-side table construction is NumPy (vectorized across chunks); the
 windows-to-symbol classification mirrors ZlingMakeDecodeTable semantics
@@ -266,39 +264,32 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         nflushed = nflushed + do_flush.astype(jnp.int32)
         obuf_n = jnp.where(do_flush, obuf_n - flush_tokens, obuf_n)
 
-        # ---- alphabet-1 symbol
+        # ---- alphabet-1 symbol.  Branchless: the fallback path is ~20
+        # scalar ops, cheaper than a lax.cond in the hot loop (and Mosaic's
+        # scalar-loop cond lowering proved unreliable -- see DESIGN.md).
         win = window(bit_pos, woff)
         e = lut1_ref[0, _srl(win & 0xFFF, 9), win & 0x1FF]
-        sym_f = e & 0xFFFF
-        l1_f = _srl(e, 16) & 31
-        sym, l1 = jax.lax.cond(e < 0, lambda: fallback(win),
-                               lambda: (sym_f, l1_f))
+        sym_s, l1_s = fallback(win)
+        sym = jnp.where(e < 0, sym_s, e & 0xFFFF)
+        l1 = jnp.where(e < 0, l1_s, _srl(e, 16) & 31)
         bad = bad | (l1 == 0)
         bit_pos = bit_pos + l1
         obuf_ref[0, obuf_n] = sym
         obuf_n = obuf_n + 1
         emitted = emitted + 1
 
-        # ---- matchidx (code2 + extra bits) for match symbols.  The branch
-        # computes pure values only (SMEM reads are legal inside lax.cond);
-        # the token store goes through @pl.when below.
+        # ---- matchidx (code2 + extra bits), also branchless: computed for
+        # every unit, applied only for match symbols
         is_match = (sym >= 258) & (emitted < rlen)
-
-        def match_fields(bp):
-            win2 = window(bp, woff)
-            e2 = lut2_ref[0, _srl(win2 & 0xFF, 7), win2 & 0x7F]
-            l2 = e2 & 0xFF
-            blen = _srl(e2, 8) & 0xFF
-            mbase = _srl(e2, 16)
-            bp2 = bp + l2
-            win3 = window(bp2, woff)
-            extra = win3 & ((jnp.int32(1) << blen) - 1)
-            return bp2 + blen, mbase + extra, e2 < 0
-
-        bit_pos, idxtok, bad2 = jax.lax.cond(
-            is_match, match_fields,
-            lambda bp: (bp, jnp.int32(0), jnp.bool_(False)), bit_pos)
-        bad = bad | bad2
+        win2 = window(bit_pos, woff)
+        e2 = lut2_ref[0, _srl(win2 & 0xFF, 7), win2 & 0x7F]
+        l2 = e2 & 0xFF
+        blen = _srl(e2, 8) & 0xFF
+        win3 = window(bit_pos + l2, woff)
+        extra = win3 & ((jnp.int32(1) << blen) - 1)
+        idxtok = _srl(e2, 16) + extra
+        bad = bad | (is_match & (e2 < 0))
+        bit_pos = bit_pos + jnp.where(is_match, l2 + blen, 0)
 
         @pl.when(is_match)
         def _():
@@ -334,9 +325,6 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
     status_ref[0, 0, 1] = bit_pos
     status_ref[0, 0, 2] = bad.astype(jnp.int32)
     status_ref[0, 0, 3] = nflushed
-    status_ref[0, 0, 4] = obuf_n
-    status_ref[0, 0, 5] = obuf_ref[0, 0]
-    status_ref[0, 0, 6] = obuf_ref[0, 1]
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -1,0 +1,106 @@
+"""Verify + benchmark the device (TPU) kernels on real hardware.
+
+Runs the Pallas chunk-entropy-decode kernel over every chunk of a real
+pipeline-encoded stream and checks bit-exactness against the native oracle,
+then reports throughput.  Needs the real TPU (run without JAX_PLATFORMS=cpu);
+compiles in ~15-40 s on first call.
+
+Usage:  python tools/bench_device.py [--mb 32] [--level 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from libzling_tpu import pipeline  # noqa: E402
+from libzling_tpu.native import engine as native  # noqa: E402
+from libzling_tpu.ops import entropy_kernel as ek  # noqa: E402
+from libzling_tpu.tables import HUFFMAN_CODES_1, HUFFMAN_CODES_2  # noqa: E402
+
+HDR = (HUFFMAN_CODES_1 + HUFFMAN_CODES_2) // 2
+
+
+def parse_stream(stream: bytes):
+    """Split a zling stream into per-chunk (full_payload, len1, len2, rlen)."""
+    full, len1s, len2s, rlens = [], [], [], []
+    pos, n = 0, len(stream)
+    while pos < n:
+        flag = stream[pos]
+        pos += 1
+        if flag == 0:
+            continue
+        rl = int.from_bytes(stream[pos + 4:pos + 8], "big")
+        ol = int.from_bytes(stream[pos + 8:pos + 12], "big")
+        pos += 12
+        payload = stream[pos:pos + ol]
+        pos += ol
+        nib = np.frombuffer(payload[:HDR], np.uint8)
+        l1 = np.zeros(HUFFMAN_CODES_1, np.uint32)
+        l2 = np.zeros(HUFFMAN_CODES_2, np.uint32)
+        l1[0::2] = nib[: HUFFMAN_CODES_1 // 2] >> 4
+        l1[1::2] = nib[: HUFFMAN_CODES_1 // 2] & 15
+        l2[0::2] = nib[HUFFMAN_CODES_1 // 2:] >> 4
+        l2[1::2] = nib[HUFFMAN_CODES_1 // 2:] & 15
+        full.append(payload)
+        len1s.append(l1)
+        len2s.append(l2)
+        rlens.append(rl)
+    return full, np.stack(len1s), np.stack(len2s), np.asarray(rlens)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=32)
+    ap.add_argument("--level", type=int, default=0)
+    args = ap.parse_args()
+
+    from tools.make_corpus import cached_corpus
+
+    data = cached_corpus(100_000_000).read_bytes()[: args.mb * 1048576]
+    dll = native._lib()
+    pipeline._bind(dll)
+    stream = pipeline.encode(data, args.level)
+    full, len1, len2, rlens = parse_stream(stream)
+    bodies = [p[HDR:] for p in full]
+    total_tokens = int(rlens.sum())
+    print(f"{len(bodies)} chunks, {total_tokens} tokens, "
+          f"{sum(map(len, bodies)) / 1e6:.1f} MB payload")
+
+    t0 = time.perf_counter()
+    tokens, status = ek.decode_chunks(len1, len2, bodies, rlens)
+    np.asarray(status)
+    print(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    tokens, status = ek.decode_chunks(len1, len2, bodies, rlens)
+    status_np = np.asarray(status)
+    tokens_np = np.asarray(tokens)
+    dt = time.perf_counter() - t0
+    print(f"warm: {dt:.2f}s -> {total_tokens / dt / 1e6:.1f} M tok/s "
+          f"({len(data) / dt / 1e6:.1f} MB/s of input)")
+    assert not status_np[:, 0, 2].any(), "kernel flagged valid chunks bad"
+
+    # bit-exactness vs the native oracle (full payload incl. table header!)
+    tokbuf = np.empty(262160, np.uint16)
+    for c, payload in enumerate(full):
+        arr = np.empty(len(payload) + 8, np.uint8)
+        arr[: len(payload)] = np.frombuffer(payload, np.uint8)
+        arr[len(payload):] = 0
+        rc = dll.zlt_entropy_decode(arr.ctypes.data, len(payload),
+                                    int(rlens[c]), tokbuf.ctypes.data)
+        assert rc == 0, f"oracle rejected chunk {c}"
+        ref = tokbuf[: rlens[c]].astype(np.int32)
+        got = tokens_np[c, : rlens[c]]
+        assert np.array_equal(ref, got), f"chunk {c}: kernel tokens mismatch"
+    print(f"verify: all {len(full)} chunks bit-exact PASS")
+
+
+if __name__ == "__main__":
+    main()
