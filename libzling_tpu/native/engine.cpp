@@ -408,6 +408,17 @@ struct Tokenizer {
 
     const int match_limit = ilen - kMaxMatch - 16;
     while (ntok + 1 < kChunkTokens && ipos < ilen) {
+      // Speculative prefetch of the NEXT position's hash head (the literal
+      // case, the most common token).  The per-position cost is a serial
+      // chain of L3-latency loads (hash_head -> slot/chain -> buf[off]);
+      // issuing the first load of iteration k+1 during iteration k removes
+      // one L3 round-trip per literal.  The same line also serves the lazy
+      // probe at pos+1 when a match is found, so the prefetch is almost
+      // never wasted.
+      if (ipos + 5 < ilen) {
+        const EncRing& rn = rings[buf[ipos]];
+        __builtin_prefetch(&rn.hash_head[hash4(buf + ipos + 1) % kHashSize]);
+      }
       if (ipos < match_limit) {
         int mlen, midx;
         if (find_match(buf, ipos, lp, &mlen, &midx)) {

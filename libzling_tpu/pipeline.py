@@ -23,9 +23,10 @@ Output is bit-exact with the reference encoder.
 from __future__ import annotations
 
 import ctypes
+import itertools
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import Future, ThreadPoolExecutor
 
 import numpy as np
 
@@ -76,6 +77,74 @@ def _bind(dll):
     dll._zlt_pipeline_ready = True
 
 
+class _PrioPool:
+    """Fixed thread pool draining a priority queue (lower number = sooner).
+
+    All parallel CPU work (block tokenization AND per-chunk entropy coding)
+    flows through these threads, sized to the core count, so the machine is
+    never oversubscribed: the main thread only does the serial MTF relabel
+    and container assembly.  Entropy jobs run at higher priority than
+    tokenize jobs because the main thread blocks on their results next,
+    while tokenize results are needed one block later.
+    """
+
+    def __init__(self, nthreads: int, name: str):
+        self.q: queue.PriorityQueue = queue.PriorityQueue()
+        self._seq = itertools.count()
+        self.threads = [
+            threading.Thread(target=self._run, daemon=True, name=f"{name}-{i}")
+            for i in range(nthreads)
+        ]
+        for t in self.threads:
+            t.start()
+
+    def submit(self, prio: int, fn, *args) -> Future:
+        fut: Future = Future()
+        self.q.put((prio, next(self._seq), fn, args, fut))
+        return fut
+
+    @staticmethod
+    def _exec(item):
+        _prio, _seq, fn, args, fut = item
+        if not fut.set_running_or_notify_cancel():
+            return
+        try:
+            fut.set_result(fn(*args))
+        except BaseException as exc:  # noqa: BLE001 - relayed via future
+            fut.set_exception(exc)
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item[2] is None:
+                return
+            self._exec(item)
+
+    def result_helping(self, fut: Future, max_help_prio: int):
+        """Wait for ``fut``, executing queued short jobs (prio <= threshold)
+        on the calling thread in the meantime.
+
+        The workers have no preemption: a queued high-priority entropy job
+        can sit behind two in-flight 200-600 ms tokenize jobs.  Letting the
+        blocked main thread drain such jobs keeps both cores on tokenize
+        while the (otherwise idle) main thread absorbs the entropy stage.
+        """
+        while not fut.done():
+            try:
+                item = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if item[0] > max_help_prio:
+                self.q.put(item)  # long job: leave it for a worker
+                break
+            self._exec(item)
+        return fut.result()
+
+    def shutdown(self):
+        for _ in self.threads:
+            self.q.put((1 << 30, next(self._seq), None, (), None))
+
+
 class _TokenizerPool:
     """Per-thread native tokenizer contexts plus a shared token-buffer pool.
 
@@ -106,15 +175,33 @@ class _TokenizerPool:
         self.free.put(buf)
 
 
+_PRIO_ENTROPY = 0
+_PRIO_TOKENIZE = 1
+
+
 class ParallelEncoder:
     def __init__(self, workers: int = 2):
         self.dll = native._lib()
         _bind(self.dll)
         self.workers = workers
-        self.pool = ThreadPoolExecutor(workers, thread_name_prefix="zlt-tok")
-        self.tok = _TokenizerPool(self.dll, nbuffers=workers + 1)
+        self.pool = _PrioPool(workers, name="zlt-enc")
+        self.tok = _TokenizerPool(self.dll, nbuffers=workers + 2)
         self.mtf = self.dll.zlt_mtf_new()
         self._out = None
+        # recycled per-chunk entropy scratch buffers; grown on demand (a
+        # typical 16 MB block has ~10-25 chunks in flight, pathological
+        # all-literal blocks up to 64)
+        self.ent_free: queue.Queue = queue.Queue()
+
+    def _take_scratch(self):
+        try:
+            return self.ent_free.get_nowait()
+        except queue.Empty:
+            return np.empty(BLOCK_SIZE_HUFFMAN + 64, np.uint8)
+
+    def _entropy_chunk(self, tokens, tpos: int, rlen: int, scratch) -> int:
+        return self.dll.zlt_entropy_encode(
+            tokens.ctypes.data + 2 * tpos, rlen, scratch.ctypes.data)
 
     def _tokenize_block(self, block_view, ilen, levels):
         tokens = self.tok.take_buffer()
@@ -168,7 +255,7 @@ class ParallelEncoder:
                 return self._tokenize_block(v, n, lv)
 
         futures = [
-            self.pool.submit(tokenize_with_retry, v, len(v), predicted[b])
+            self.pool.submit(_PRIO_TOKENIZE, tokenize_with_retry, v, len(v), predicted[b])
             for b, v in enumerate(views)
         ]
 
@@ -189,7 +276,8 @@ class ParallelEncoder:
         tokens = None
         try:
             for b in range(nblocks):
-                tokens, rlens, encpos, used_levels = futures[b].result()
+                tokens, rlens, encpos, used_levels = self.pool.result_helping(
+                    futures[b], _PRIO_ENTROPY)
                 consumed += 1
                 view = views[b]
                 self.dll.zlt_mtf_save(self.mtf, snapshot.ctypes.data)
@@ -199,28 +287,42 @@ class ParallelEncoder:
                     self.dll.zlt_relabel_block(
                         self.mtf, view.ctypes.data, tokens.ctypes.data,
                         rl_arr.ctypes.data, len(rl_arr))
-                    # entropy + adaptive-level validation
+                    # entropy coding fans out to the worker pool (chunks are
+                    # independent once relabeled); the adaptive-level
+                    # validation below only needs each chunk's olen, which is
+                    # a pure function of its tokens
+                    jobs = []
+                    tpos = 0
+                    for c in range(len(rl_arr)):
+                        scratch = self._take_scratch()
+                        fut = self.pool.submit(
+                            _PRIO_ENTROPY, self._entropy_chunk,
+                            tokens, tpos, int(rl_arr[c]), scratch)
+                        jobs.append((fut, scratch))
+                        tpos += int(rl_arr[c])
                     lvl = current_level
                     mispredict_at = -1
-                    tpos = 0
                     prev_end = 0
                     opos_block = opos
-                    for c in range(len(rlens)):
-                        if used_levels[c] != lvl:
-                            mispredict_at = c
-                            break
+                    for c, (fut, scratch) in enumerate(jobs):
+                        if mispredict_at >= 0 or used_levels[c] != lvl:
+                            if mispredict_at < 0:
+                                mispredict_at = c
+                            # drain: the task still reads the token buffer
+                            self.pool.result_helping(fut, _PRIO_ENTROPY)
+                            self.ent_free.put(scratch)
+                            continue
+                        olen = self.pool.result_helping(fut, _PRIO_ENTROPY)
+                        ep, rl = int(encpos[c]), int(rl_arr[c])
                         out[opos] = 1
-                        olen = self.dll.zlt_entropy_encode(
-                            tokens.ctypes.data + 2 * tpos, int(rlens[c]),
-                            out.ctypes.data + opos + 13)
-                        ep, rl = int(encpos[c]), int(rlens[c])
                         hdr = ep.to_bytes(4, "big") + rl.to_bytes(4, "big") \
                             + olen.to_bytes(4, "big")
                         out[opos + 1: opos + 13] = np.frombuffer(hdr, np.uint8)
+                        out[opos + 13: opos + 13 + olen] = scratch[:olen]
+                        self.ent_free.put(scratch)
                         opos += 13 + olen
                         lvl = 0 if olen / (ep - prev_end + 1) > 0.95 else level
                         prev_end = ep
-                        tpos += rl
                     if mispredict_at < 0:
                         current_level = lvl
                         break
