@@ -3,7 +3,9 @@
 Backends:
   "spec"   -- pure-Python executable specification (slow, always available)
   "native" -- C++ host engine (block-parallel, bit-exact)
-  "jax"    -- JAX/Pallas device pipeline (TPU-native)
+  "jax"    -- JAX device pipeline (jitted XLA ops + Pallas entropy decode)
+  "tpu"    -- fully on-device decode via the Pallas entropy + resolve
+              kernels (libzling_tpu.device); encode via the jax pipeline
   "auto"   -- fastest available: native for host calls; use the
               ``libzling_tpu.codec`` module directly for device pipelines.
 """
@@ -41,6 +43,13 @@ def _register_backends() -> None:
 
         _BACKENDS_ENC["jax"] = lambda d, lvl: _jax_codec.encode(d, lvl)
         _BACKENDS_DEC["jax"] = _jax_codec.decode
+    except Exception:  # pragma: no cover - jax unavailable
+        pass
+    try:
+        from . import device as _device
+
+        _BACKENDS_ENC["tpu"] = lambda d, lvl: _jax_codec.encode(d, lvl)
+        _BACKENDS_DEC["tpu"] = _device.decode
     except Exception:  # pragma: no cover - jax unavailable
         pass
 

@@ -134,122 +134,58 @@ def encode(data: bytes, level: int = 0) -> bytes:
 # decode
 # ---------------------------------------------------------------------------
 
-_TOK_SLACK = hops.SEG_BITS * 2 + 64  # garbage-token slack per chunk (padding)
-
 
 def decode(data: bytes) -> bytes:
+    """Entropy decode via the Pallas scalar-core kernel (compiled on TPU,
+    interpreted elsewhere), then the jitted XLA ROLZ resolve.  The fully
+    on-device path (Pallas resolver too) is libzling_tpu.device.decode.
+    """
     if not data:
         return b""
-    # ---- host: parse container
-    chunks = []  # (block_id, encpos, rlen, payload bytes)
-    pos, n, block_id = 0, len(data), 0
-    block_sizes: list[int] = []
-    last_encpos = 0
-    while pos < n:
-        flag = data[pos]
-        pos += 1
-        if flag == 0:
-            block_sizes.append(last_encpos)
-            last_encpos = 0
-            block_id += 1
-            continue
-        if flag != 1 or pos + 12 > n:
-            raise ValueError("zling: corrupt stream (bad framing)")
-        encpos = int.from_bytes(data[pos:pos + 4], "big")
-        rlen = int.from_bytes(data[pos + 4:pos + 8], "big")
-        olen = int.from_bytes(data[pos + 8:pos + 12], "big")
-        pos += 12
-        if (rlen > BLOCK_SIZE_ROLZ or olen > BLOCK_SIZE_HUFFMAN
-                or encpos > BLOCK_SIZE_IN or pos + olen > n):
-            raise ValueError("zling: corrupt stream (bad chunk header)")
-        chunks.append((block_id, encpos, rlen, data[pos:pos + olen]))
-        last_encpos = encpos
-        pos += olen
-    if last_encpos != 0:
-        raise ValueError("zling: truncated stream (missing stop flag)")
+    from . import container
+    from .ops import entropy_kernel as ek
+
+    chunks, _block_sizes = container.parse(data)
     if not chunks:
         return b""
-
-    # ---- host: split payloads into tables + flat segmented words
-    header = (HUFFMAN_CODES_1 + HUFFMAN_CODES_2) // 2
+    len1, len2, bodies, rlens = container.unpack_length_tables(chunks)
     C = len(chunks)
-    len1 = np.zeros((C, HUFFMAN_CODES_1), np.uint32)
-    len2 = np.zeros((C, HUFFMAN_CODES_2), np.uint32)
-    flat: list[np.ndarray] = []
-    seg_start, seg_cid, seg_is_start = [], [], []
-    chunk_tok_base = np.zeros(C, np.int64)
-    word_base = 0
-    tok_base = 0
-    for c, (_b, _e, rlen, payload) in enumerate(chunks):
-        if len(payload) < header:
-            raise ValueError("zling: corrupt stream (short payload)")
-        nib = np.frombuffer(payload[:header], np.uint8)
-        len1[c, 0::2] = nib[: HUFFMAN_CODES_1 // 2] >> 4
-        len1[c, 1::2] = nib[: HUFFMAN_CODES_1 // 2] & 15
-        len2[c, 0::2] = nib[HUFFMAN_CODES_1 // 2:] >> 4
-        len2[c, 1::2] = nib[HUFFMAN_CODES_1 // 2:] & 15
-        body = payload[header:]
-        nseg = max(1, -(-len(body) // hops.SEG_BYTES))
-        flat.append(np.frombuffer(body + bytes(nseg * hops.SEG_BYTES - len(body)),
-                                  np.uint8))
-        for s in range(nseg):
-            seg_start.append((word_base * 4 + s * hops.SEG_BYTES) * 8)
-            seg_cid.append(c)
-            seg_is_start.append(s == 0)
-        word_base += nseg * hops.SEG_BYTES // 4
-        chunk_tok_base[c] = tok_base
-        tok_base += rlen + _TOK_SLACK
-    flat.append(np.zeros(hops.SEG_BYTES, np.uint8))
-    words = np.concatenate(flat).view(np.uint32)
 
-    # ---- device: entropy decode all chunks at once
-    jl1 = jnp.asarray(len1)
-    jl2 = jnp.asarray(len2)
-    lut1 = hops.decode_lut(jl1, HUFFMAN_MAX_LEN_1).reshape(-1)
-    lut2 = hops.decode_lut(jl2, HUFFMAN_MAX_LEN_2).reshape(-1)
-    jwords = jnp.asarray(words)
-    j_seg_start = jnp.asarray(np.asarray(seg_start, np.int64))
-    j_seg_cid = jnp.asarray(np.asarray(seg_cid, np.int32))
-    j_seg_is_start = jnp.asarray(np.asarray(seg_is_start, bool))
-    exit_off, count, bad = hops.decode_phase1(
-        j_seg_start, j_seg_cid, jwords, lut1, lut2, jl1, jl2)
-    entry, tok_start = hops.decode_compose(exit_off, count, j_seg_is_start)
-    bad_np = np.asarray(bad)
-    entry_np = np.asarray(entry)
-    if bad_np[np.arange(len(seg_cid)), np.clip(entry_np, 0, hops.N_ENTRY - 1)].any():
+    import jax
+
+    interpret = jax.default_backend() != "tpu"
+    tokens, status = ek.decode_chunks(len1, len2, bodies, rlens,
+                                      interpret=interpret)
+    st = np.asarray(status)
+    if st[:, 0, 2].any() or (st[:, 0, 0] != rlens).any():
         raise ValueError("zling: corrupt stream (huffman)")
-    max_tokens = _round_up(int(tok_base) + 2, 4096)
-    tokens = hops.decode_phase2(
-        entry, tok_start, j_seg_start, j_seg_cid, jnp.asarray(chunk_tok_base),
-        jwords, lut1, lut2, jl1, jl2, max_tokens)
     tokens_np = np.asarray(tokens)
 
     # ---- device: sequential ROLZ resolve (MTF carries across blocks)
     out_parts: list[bytes] = []
     r2s, _ = mops.initial_state()
     state = rops.dec_state_init()
-    max_block = max(e for (_b, e, _r, _p) in chunks)
+    max_block = max(ch.encpos for ch in chunks)
     bufsize = min(BLOCK_SIZE_IN + _PAD, _round_up(max_block + _PAD, 1 << 16))
     outbuf = jnp.zeros(bufsize, jnp.uint8)
     opos = jnp.int32(0)
     cur_block = 0
     tok_scratch = np.zeros(BLOCK_SIZE_ROLZ + 2, np.int32)
     final_encpos = 0
-    for c, (bid, encpos, rlen, _payload) in enumerate(chunks):
-        if bid != cur_block:
+    for c, ch in enumerate(chunks):
+        if ch.block_id != cur_block:
             out_parts.append(bytes(np.asarray(outbuf[:final_encpos])))
             state = rops.dec_state_init()
             outbuf = jnp.zeros(bufsize, jnp.uint8)
             opos = jnp.int32(0)
-            cur_block = bid
-        base = int(chunk_tok_base[c])
-        tok_scratch[:rlen] = tokens_np[base: base + rlen]
-        tok_scratch[rlen:] = 0
+            cur_block = ch.block_id
+        tok_scratch[:ch.rlen] = tokens_np[c, :ch.rlen]
+        tok_scratch[ch.rlen:] = 0
         state, r2s, outbuf, opos, ok = rops.resolve_chunk(
-            state, r2s, jnp.asarray(tok_scratch), jnp.int32(rlen), outbuf,
-            opos, jnp.int32(encpos), outbuf.shape[0])
+            state, r2s, jnp.asarray(tok_scratch), jnp.int32(ch.rlen), outbuf,
+            opos, jnp.int32(ch.encpos), outbuf.shape[0])
         if not bool(ok):
             raise ValueError("zling: corrupt stream (resolve)")
-        final_encpos = encpos
+        final_encpos = ch.encpos
     out_parts.append(bytes(np.asarray(outbuf[:final_encpos])))
     return b"".join(out_parts)

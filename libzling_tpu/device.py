@@ -1,0 +1,93 @@
+"""The "tpu" backend: decode runs on the accelerator via Pallas kernels.
+
+Pipeline (all codec compute on device; host only parses framing and builds
+decode tables):
+
+  [host]   parse container, nibble-unpack per-chunk length tables
+  [device] chunk entropy decode -- Pallas scalar-core kernel with SMEM LUTs
+           (ops/entropy_kernel.py), all chunks in one grid
+  [device] sequential ROLZ resolve -- Pallas kernel with the 16 MB block in
+           VMEM byte-planes, ring + MTF state on-chip
+           (ops/resolve_kernel.py); tokens never leave the device
+  [host]   one packed-bytes fetch + per-block slicing
+
+For reference-format streams the resolve chain is serial (contexts are
+decoded content, MTF crosses blocks -- DESIGN.md section 4), so this backend
+is one execution lane; entropy decode parallelizes across cores on
+multi-core parts.  On CPU (tests) both kernels run in Pallas interpreter
+mode -- correct but slow, so keep test inputs small.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import container
+from .ops import entropy_kernel as ek
+from .ops import resolve_kernel as rk
+
+
+def _auto_interpret() -> bool:
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def decode(data: bytes, interpret: bool | None = None, *,
+           slab_words: int = ek.SLAB_WORDS,
+           flush_tokens: int = ek.FLUSH_TOKENS,
+           max_tokens: int = ek.MAX_TOKENS,
+           slab_tokens: int = rk.SLAB_TOKENS) -> bytes:
+    """Decode a zling stream on the TPU.  Bit-exact with spec.decode."""
+    if not data:
+        return b""
+    if interpret is None:
+        interpret = _auto_interpret()
+    chunks, block_sizes = container.parse(data)
+    if not chunks:
+        return b""
+    len1, len2, bodies, rlens = container.unpack_length_tables(chunks)
+    C = len(chunks)
+
+    tokens, status = ek.decode_chunks(
+        len1, len2, bodies, rlens, interpret=interpret,
+        slab_words=slab_words, flush_tokens=flush_tokens,
+        max_tokens=max_tokens)
+    st = np.asarray(status)
+    if st[:, 0, 2].any() or (st[:, 0, 0] != rlens).any():
+        raise ValueError("zling: corrupt stream (huffman)")
+
+    tok_stride = max_tokens + 2 * flush_tokens
+    tokens_flat = tokens.reshape(1, C * tok_stride)
+
+    # per-chunk metadata: block starts + the owning block's output base
+    # (128-word aligned so every 512-byte group DMA lands aligned)
+    encpos = np.asarray([ch.encpos for ch in chunks], np.int32)
+    new_block = np.zeros(C, np.int32)
+    hbm_base = np.zeros(C, np.int32)
+    block_base_words: list[int] = []
+    acc = 0
+    for size in block_sizes:
+        block_base_words.append(acc)
+        acc += (size + 511) // 512 * 128
+    out_words = acc + 128
+    prev_bid = -1
+    for c, ch in enumerate(chunks):
+        if ch.block_id != prev_bid:
+            new_block[c] = 1
+            prev_bid = ch.block_id
+        hbm_base[c] = block_base_words[ch.block_id]
+
+    out, rstatus = rk.resolve_stream(
+        tokens_flat, rlens.astype(np.int32), encpos, new_block, hbm_base,
+        tok_stride, out_words, interpret=interpret, slab_tokens=slab_tokens)
+    rst = np.asarray(rstatus)[:, 0, :]
+    if rst[:, 2].any():
+        raise ValueError("zling: corrupt stream (resolve)")
+
+    raw = np.ascontiguousarray(np.asarray(out)[0]).view(np.uint8)
+    parts = []
+    for bid, size in enumerate(block_sizes):
+        base = block_base_words[bid] * 4
+        parts.append(raw[base: base + size].tobytes())
+    return b"".join(parts)

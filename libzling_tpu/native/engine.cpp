@@ -309,6 +309,12 @@ struct EncRing {
 struct Tokenizer {
   EncRing* rings;  // [256]
   MtfState* mtf;
+  // debug counters (reference gates these at compile time,
+  // src/libzling_debug.h:38-49 + call sites src/libzling_lz.cpp:226-287;
+  // here they are always-on: ~1%% of the match loop):
+  // [0] bucket updates  [1] chain steps   [2] match succ  [3] match fail
+  // [4] lazy skips      [5] word-MRU hits [6] literals    [7] match bytes
+  unsigned long long cnt[8] = {};
 
   void reset_rings() {
     for (int c = 0; c < 256; c++) {
@@ -348,10 +354,12 @@ struct Tokenizer {
     r.chain[r.head] = r.hash_head[hs];
     r.slot[r.head] = (uint32_t)pos | (uint32_t)check << 24;
     r.hash_head[hs] = r.head;
+    cnt[0]++;
 
     if (node == kNil || node == r.head) return false;
 
     for (int i = 0; i < lp.depth; i++) {
+      cnt[1]++;
       uint32_t off = r.slot[node] & 0xffffff;
       if ((r.slot[node] >> 24) == check && buf[pos + best_len] == buf[off + best_len]) {
         int len = common_len(buf + pos, buf + off, kMaxMatch);
@@ -367,8 +375,8 @@ struct Tokenizer {
 
     if (best_len >= kMinMatch) {
       if (best_len < kLazyThreshold) {
-        if (lp.lazy1 > 0 && lazy_probe(buf, pos + 1, best_len, lp.lazy1)) return false;
-        if (lp.lazy2 > 0 && lazy_probe(buf, pos + 2, best_len, lp.lazy2)) return false;
+        if (lp.lazy1 > 0 && lazy_probe(buf, pos + 1, best_len, lp.lazy1)) { cnt[4]++; return false; }
+        if (lp.lazy2 > 0 && lazy_probe(buf, pos + 2, best_len, lp.lazy2)) { cnt[4]++; return false; }
       }
       *out_len = best_len;
       *out_idx = (r.head - best_node) & (kRingSize - 1);
@@ -422,6 +430,8 @@ struct Tokenizer {
       if (ipos < match_limit) {
         int mlen, midx;
         if (find_match(buf, ipos, lp, &mlen, &midx)) {
+          cnt[2]++;
+          cnt[7] += (unsigned long long)mlen;
           tok[ntok++] = (uint16_t)(258 + mlen - kMinMatch);
           tok[ntok++] = (uint16_t)midx;
           ipos += mlen;
@@ -430,16 +440,19 @@ struct Tokenizer {
           if (m[0] != w) { m[1] = m[0]; m[0] = w; }
           continue;
         }
+        cnt[3]++;
       }
       if (ipos + 1 < ilen) {
         uint32_t w = (uint32_t)(buf[ipos] << 8 | buf[ipos + 1]);
         uint32_t* m = mru[buf[ipos - 1]];
         if (m[0] == w) {
+          cnt[5]++;
           tok[ntok++] = 256;
           ipos += 2;
           continue;
         }
         if (m[1] == w) {
+          cnt[5]++;
           tok[ntok++] = 257;
           ipos += 2;
           uint32_t* m2 = mru[buf[ipos - 3]];
@@ -448,6 +461,7 @@ struct Tokenizer {
           continue;
         }
       }
+      cnt[6]++;
       tok[ntok++] = raw_literals ? buf[ipos] : mtf->encode(buf[ipos - 1], buf[ipos]);
       ipos++;
       uint32_t* m = mru[buf[ipos - 3]];
@@ -771,6 +785,15 @@ extern "C" {
 // Persistent engine handles: reusing an engine across calls keeps its state
 // pages warm (first-touch page faults dominate one-shot codec calls).
 void* zlt_encoder_new(void) { return new EncodeEngine(); }
+
+// Match-loop observability (works on zlt_encoder_new and zlt_tokenizer_new
+// handles).  Layout documented at Tokenizer::cnt.
+void zlt_counters(void* h, unsigned long long* out8) {
+  memcpy(out8, ((EncodeEngine*)h)->tk.cnt, 8 * sizeof(unsigned long long));
+}
+void zlt_counters_reset(void* h) {
+  memset(((EncodeEngine*)h)->tk.cnt, 0, 8 * sizeof(unsigned long long));
+}
 void zlt_encoder_free(void* h) { delete (EncodeEngine*)h; }
 void* zlt_decoder_new(void) { return new DecodeEngine(); }
 void zlt_decoder_free(void* h) { delete (DecodeEngine*)h; }

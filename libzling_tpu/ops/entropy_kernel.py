@@ -179,7 +179,7 @@ def _srl(x, n):
 
 def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
                          words_ref, out_ref, status_ref,
-                         slab_ref, obuf_ref, sem_in, sem_out,
+                         slab_ref, obuf_ref, fb_ref, sem_in, sem_out,
                          *, slab_words: int, flush_tokens: int,
                          out_tokens: int):
     c = pl.program_id(0)
@@ -199,51 +199,26 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
 
     load_slab(0)
 
-    def window(bit_pos, woff):
-        w = _srl(bit_pos, 5)
-        sub = bit_pos & 31
-        i = w - woff
-        w0 = slab_ref[0, i]
-        w1 = slab_ref[0, i + 1]
-        return jnp.where(sub == 0, w0,
-                         _srl(w0, sub) | (w1 << (32 - jnp.maximum(sub, 1))))
-
-    def fallback(win):
-        # canonical classify for code lengths LUT_BITS+1 .. 15 (rare symbols)
-        v = win & 0x7FFF
-        # 15-bit reversal via 16-bit butterfly then >> 1
-        v = (_srl(v & 0xFF00, 8)) | ((v & 0x00FF) << 8)
-        v = (_srl(v & 0xF0F0, 4)) | ((v & 0x0F0F) << 4)
-        v = (_srl(v & 0xCCCC, 2)) | ((v & 0x3333) << 2)
-        v = (_srl(v & 0xAAAA, 1)) | ((v & 0x5555) << 1)
-        v15 = _srl(v, 1)
-        sym = jnp.int32(-1)
-        l1 = jnp.int32(0)
-        for l in range(LUT_BITS + 1, HUFFMAN_MAX_LEN_1 + 1):
-            top = _srl(v15, HUFFMAN_MAX_LEN_1 - l)
-            s = meta_ref[0, 1, l]
-            cnt = meta_ref[0, 2, l]
-            hit = (l1 == 0) & (top >= s) & (top < s + cnt)
-            pos = meta_ref[0, 3, l] + top - s
-            pos = jnp.clip(jnp.where(hit, pos, 0), 0, 1023)
-            cand = order_ref[0, _srl(pos, 7), pos & 127]
-            sym = jnp.where(hit, cand, sym)
-            l1 = jnp.where(hit, l, l1)
-        return sym, l1
+    # The bit reader is a 64-bit accumulator in two 32-bit registers (lo, hi)
+    # with `nbits` valid bits counted from lo's LSB (bits above nbits are
+    # zero).  One unit consumes at most 15 + 8 + 8 = 31 bits, so topping up
+    # to >= 32 bits once per unit keeps every peek inside lo -- this replaces
+    # the previous three windowed SMEM loads per unit with register ops
+    # (~4x fewer scalar ops per token; see DESIGN.md section 3.1).
 
     def body(carry):
-        bit_pos, emitted, obuf_n, nflushed, woff, bad = carry
+        wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad = carry
 
-        # keep the slab covering [w, w+3]: one unit reads at most 3 words on
-        need = _srl(bit_pos, 5) + 3 >= woff + slab_words
+        # keep the slab covering the next word to fetch
+        need = wpos >= woff + slab_words
 
         @pl.when(need)
         def _():
-            load_slab((_srl(bit_pos, 5) >> 7) << 7)
+            load_slab((wpos >> 7) << 7)
 
-        woff = jnp.where(need, (_srl(bit_pos, 5) >> 7) << 7, woff)
+        woff = jnp.where(need, (wpos >> 7) << 7, woff)
 
-        # drain the token buffer in aligned 8192-token bursts
+        # drain the token buffer in aligned bursts
         do_flush = obuf_n >= flush_tokens
 
         @pl.when(do_flush)
@@ -264,51 +239,87 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         nflushed = nflushed + do_flush.astype(jnp.int32)
         obuf_n = jnp.where(do_flush, obuf_n - flush_tokens, obuf_n)
 
-        # ---- alphabet-1 symbol.  Branchless: the fallback path is ~20
-        # scalar ops, cheaper than a lax.cond in the hot loop (and Mosaic's
-        # scalar-loop cond lowering proved unreliable -- see DESIGN.md).
-        win = window(bit_pos, woff)
-        e = lut1_ref[0, _srl(win & 0xFFF, 9), win & 0x1FF]
-        sym_s, l1_s = fallback(win)
-        sym = jnp.where(e < 0, sym_s, e & 0xFFFF)
-        l1 = jnp.where(e < 0, l1_s, _srl(e, 16) & 31)
-        bad = bad | (l1 == 0)
-        bit_pos = bit_pos + l1
-        obuf_ref[0, obuf_n] = sym
-        obuf_n = obuf_n + 1
-        emitted = emitted + 1
+        # ---- refill the accumulator (at most one word per unit)
+        w = slab_ref[0, wpos - woff]
+        fill = nbits < 32
+        lo = jnp.where(fill, jnp.where(nbits == 0, w, lo | (w << nbits)), lo)
+        hi = jnp.where(fill,
+                       jnp.where(nbits == 0, 0,
+                                 _srl(w, 32 - jnp.maximum(nbits, 1))), hi)
+        wpos = wpos + fill.astype(jnp.int32)
+        nbits = nbits + jnp.where(fill, 32, 0)
 
-        # ---- matchidx (code2 + extra bits), also branchless: computed for
-        # every unit, applied only for match symbols
-        is_match = (sym >= 258) & (emitted < rlen)
-        win2 = window(bit_pos, woff)
-        e2 = lut2_ref[0, _srl(win2 & 0xFF, 7), win2 & 0x7F]
+        # ---- alphabet-1 symbol via the 12-bit LUT; codes of 13..15 bits take
+        # the canonical tier-compare fallback, branch-gated with pl.when so
+        # the (rare) path costs the hot loop only a compare + one SMEM load.
+        e = lut1_ref[0, _srl(lo & 0xFFF, 9), lo & 0x1FF]
+
+        @pl.when(e < 0)
+        def _():
+            # reverse the 15-bit window to the MSB-first canonical view
+            v = lo & 0x7FFF
+            v = (_srl(v & 0xFF00, 8)) | ((v & 0x00FF) << 8)
+            v = (_srl(v & 0xF0F0, 4)) | ((v & 0x0F0F) << 4)
+            v = (_srl(v & 0xCCCC, 2)) | ((v & 0x3333) << 2)
+            v = (_srl(v & 0xAAAA, 1)) | ((v & 0x5555) << 1)
+            v15 = _srl(v, 1)
+            packed = jnp.int32(-1)
+            for l in range(LUT_BITS + 1, HUFFMAN_MAX_LEN_1 + 1):
+                top = _srl(v15, HUFFMAN_MAX_LEN_1 - l)
+                s = meta_ref[0, 1, l]
+                cnt = meta_ref[0, 2, l]
+                hit = (packed < 0) & (top >= s) & (top < s + cnt)
+                pos = jnp.clip(jnp.where(hit, meta_ref[0, 3, l] + top - s, 0),
+                               0, 1023)
+                cand = order_ref[0, _srl(pos, 7), pos & 127]
+                packed = jnp.where(hit, cand | (l << 16), packed)
+            fb_ref[0] = packed
+
+        ev = jnp.where(e < 0, fb_ref[0], e)
+        bad = bad | (ev < 0)
+        ev = jnp.maximum(ev, 0)
+        sym = ev & 0xFFFF
+        l1 = jnp.maximum(_srl(ev, 16) & 31, 1)  # >=1 keeps shifts defined on bad
+
+        # ---- matchidx (code2 + extra bits): peeked straight out of lo at
+        # offsets l1 and l1+l2 (l1+l2+blen <= 31 < nbits), applied only for
+        # match symbols
+        is_match = (sym >= 258) & (emitted + 1 < rlen)
+        p2 = _srl(lo, l1) & 0xFF
+        e2 = lut2_ref[0, _srl(p2, 7), p2 & 0x7F]
+        bad = bad | (is_match & (e2 < 0))
+        e2 = jnp.maximum(e2, 0)
         l2 = e2 & 0xFF
         blen = _srl(e2, 8) & 0xFF
-        win3 = window(bit_pos + l2, woff)
-        extra = win3 & ((jnp.int32(1) << blen) - 1)
+        extra = _srl(lo, l1 + l2) & ((jnp.int32(1) << blen) - 1)
         idxtok = _srl(e2, 16) + extra
-        bad = bad | (is_match & (e2 < 0))
-        bit_pos = bit_pos + jnp.where(is_match, l2 + blen, 0)
 
-        @pl.when(is_match)
-        def _():
-            obuf_ref[0, obuf_n] = idxtok
+        # ---- consume (1 <= nc <= 31) and emit; idxtok is written
+        # unconditionally (obuf has slack) and kept only for matches
+        nc = l1 + jnp.where(is_match, l2 + blen, 0)
+        lo = _srl(lo, nc) | (hi << (32 - nc))
+        hi = _srl(hi, nc)
+        nbits = nbits - nc
+        obuf_ref[0, obuf_n] = sym
+        obuf_ref[0, obuf_n + 1] = idxtok
+        adv = 1 + is_match.astype(jnp.int32)
+        obuf_n = obuf_n + adv
+        emitted = emitted + adv
 
-        obuf_n = obuf_n + is_match.astype(jnp.int32)
-        emitted = emitted + is_match.astype(jnp.int32)
-
-        bad = bad | (bit_pos > end_bits)
-        return bit_pos, emitted, obuf_n, nflushed, woff, bad
+        bad = bad | (wpos > n_words)
+        return wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad
 
     def cond(carry):
-        bit_pos, emitted, obuf_n, nflushed, woff, bad = carry
+        emitted, bad = carry[5], carry[8]
         return (emitted < rlen) & ~bad
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            jnp.int32(0), jnp.bool_(False))
-    bit_pos, emitted, obuf_n, nflushed, woff, bad = jax.lax.while_loop(
-        cond, body, init)
+    init = (jnp.int32(2), jnp.int32(0), slab_ref[0, 0], slab_ref[0, 1],
+            jnp.int32(64), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.bool_(False))
+    wpos, _woff, _lo, _hi, nbits, emitted, obuf_n, nflushed, bad = \
+        jax.lax.while_loop(cond, body, init)
+    bit_pos = wpos * 32 - nbits
+    bad = bad | (bit_pos > end_bits)
 
     # final flush: one full burst starting at the last aligned boundary
     # (trailing entries beyond obuf_n are garbage; out has OUT_PAD slack)
@@ -357,6 +368,7 @@ def _decode_call(meta, order1, lut1, lut2, words, interpret: bool = False,
         scratch_shapes=[
             pltpu.SMEM((1, slab_words), jnp.int32),
             pltpu.SMEM((1, flush_tokens + 8), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

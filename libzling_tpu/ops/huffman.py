@@ -42,8 +42,6 @@ from ..tables import (
 )
 
 MAX_UNIT_BITS = HUFFMAN_MAX_LEN_1 + HUFFMAN_MAX_LEN_2 + 8  # 15+8+8 = 31
-SEG_BYTES = 512
-SEG_BITS = SEG_BYTES * 8
 N_ENTRY = 32  # entry offsets 0..31 (a unit ending <=31 bits past a boundary)
 
 
@@ -254,148 +252,3 @@ def payload_from_words(words: np.ndarray, total_bits: int,
     nbytes = (int(total_bits) + 7) // 8
     body = words.view(np.uint8)[:nbytes] if nbytes else np.empty(0, np.uint8)
     return header.tobytes() + body.tobytes()
-
-
-# ---------------------------------------------------------------------------
-# device: segment-parallel decoder
-# ---------------------------------------------------------------------------
-#
-# Layout: all chunk payloads (bitstream part only, without the 273-byte
-# length-table header) are concatenated into one flat little-endian u32 word
-# array, each chunk zero-padded to a whole number of 512-byte segments (plus
-# a 2-word tail so 64-bit windows never read out of bounds).  Per-chunk
-# decode LUTs are stacked as [C, 32768] / [C, 256].  Every bit position is
-# addressed absolutely within the flat word array.
-
-
-@jax.jit
-def _advance_flat(bit_pos, cid, words, lut1, lut2, len1, len2):
-    """Decode one unit at absolute bit `bit_pos` of chunk `cid` (vectorized).
-
-    Returns (sym, idxtok, nbits, bad).  nbits is always >= 1 so speculative
-    lanes and corrupt streams make progress.
-    """
-    bit_pos = bit_pos.astype(jnp.uint32)
-    wi = (bit_pos >> 5).astype(jnp.int32)
-    sub = bit_pos & 31
-    w0 = words[wi].astype(jnp.uint32)
-    w1 = words[wi + 1].astype(jnp.uint32)
-    w2 = words[wi + 2].astype(jnp.uint32)
-    nz = jnp.where(sub > 0, sub, 1)
-    window = jnp.where(sub > 0, (w0 >> sub) | (w1 << (32 - nz)), w0)
-    window2 = jnp.where(sub > 0, (w1 >> sub) | (w2 << (32 - nz)), w1)
-
-    sym = lut1[cid * 32768 + (window & 0x7FFF).astype(jnp.int32)].astype(jnp.int32)
-    sym_safe = jnp.clip(sym, 0, HUFFMAN_CODES_1 - 1)
-    l1 = len1[cid, sym_safe].astype(jnp.uint32)
-    l1nz = jnp.where(l1 > 0, l1, 1)
-    rest = jnp.where(l1 < 32, window >> l1, 0) | jnp.where(l1 > 0, window2 << (32 - l1nz), 0)
-
-    code2 = lut2[cid * 256 + (rest & 0xFF).astype(jnp.int32)].astype(jnp.int32)
-    code2_safe = jnp.clip(code2, 0, HUFFMAN_CODES_2 - 1)
-    l2 = len2[cid, code2_safe].astype(jnp.uint32)
-    lx = _J_MATCHIDX_BLEN()[code2_safe].astype(jnp.uint32)
-    extra = (rest >> l2) & ((jnp.uint32(1) << lx) - jnp.uint32(1))
-    idxtok = _J_MATCHIDX_BASE()[code2_safe] + extra.astype(jnp.int32)
-
-    is_match = sym >= 258
-    nbits = l1 + jnp.where(is_match, l2 + lx, 0)
-    bad = (sym >= HUFFMAN_CODES_1) | (is_match & ((code2 >= HUFFMAN_CODES_2) | (l2 == 0))) \
-        | (idxtok >= 4096) | (l1 == 0)
-    nbits = jnp.where(nbits > 0, nbits, 1)
-    idxtok = jnp.where(is_match, idxtok, 0)
-    return sym, idxtok, nbits, bad
-
-
-@jax.jit
-def decode_phase1(seg_start_bits, seg_cid, words, lut1, lut2, len1, len2):
-    """Speculative pass: for each segment and entry offset 0..31, the exit
-    offset past the segment end (< 32) and the zling token count emitted.
-
-    seg_start_bits [S]: absolute bit of each segment start; seg_cid [S].
-    Returns exit_off [S,32] int32, count [S,32] int32, bad [S,32] bool.
-    """
-    S = seg_start_bits.shape[0]
-    entry = jnp.arange(N_ENTRY, dtype=jnp.uint32)
-    bit0 = seg_start_bits[:, None].astype(jnp.uint32) + entry[None, :]
-    seg_end = seg_start_bits[:, None].astype(jnp.uint32) + SEG_BITS
-    cid = jnp.broadcast_to(seg_cid[:, None], (S, N_ENTRY))
-
-    def body(carry):
-        bit_pos, count, bad = carry
-        active = bit_pos < seg_end
-        sym, _i, nbits, step_bad = _advance_flat(bit_pos, cid, words, lut1, lut2, len1, len2)
-        count = count + jnp.where(active, jnp.where(sym >= 258, 2, 1), 0)
-        bit_pos = bit_pos + jnp.where(active, nbits, 0)
-        return bit_pos, count, bad | (active & step_bad)
-
-    def cond(carry):
-        return jnp.any(carry[0] < seg_end)
-
-    init = (bit0, jnp.zeros((S, N_ENTRY), jnp.int32), jnp.zeros((S, N_ENTRY), jnp.bool_))
-    bit_pos, count, bad = jax.lax.while_loop(cond, body, init)
-    return (bit_pos - seg_end).astype(jnp.int32), count, bad
-
-
-@jax.jit
-def decode_compose(exit_off, count, seg_is_chunk_start):
-    """Associative segmented scan of per-segment entry->exit maps.
-
-    Returns (entry [S], tok_start [S]): the true entry offset of each segment
-    and its first token's index within its chunk's token stream.
-    """
-    start = seg_is_chunk_start[:, None]
-    # chunk-start segments always begin at entry 0: constant map
-    m0 = jnp.where(start, jnp.broadcast_to(exit_off[:, 0:1], exit_off.shape), exit_off)
-    c0 = jnp.where(start, jnp.broadcast_to(count[:, 0:1], count.shape), count)
-
-    def combine(a, b):
-        am, ac, ar = a
-        bm, bc, br = b
-        ams = jnp.clip(am, 0, N_ENTRY - 1)
-        hm = jnp.take_along_axis(bm, ams, axis=-1)
-        hc = ac + jnp.take_along_axis(bc, ams, axis=-1)
-        hm = jnp.where(br, bm, hm)
-        hc = jnp.where(br, bc, hc)
-        return hm, hc, ar | br
-
-    maps, cnts, _ = jax.lax.associative_scan(
-        combine, (m0, c0, seg_is_chunk_start[:, None]))
-    entry = jnp.concatenate([jnp.zeros(1, jnp.int32), maps[:-1, 0]])
-    tok_start = jnp.concatenate([jnp.zeros(1, jnp.int32), cnts[:-1, 0]])
-    entry = jnp.where(seg_is_chunk_start, 0, entry)
-    tok_start = jnp.where(seg_is_chunk_start, 0, tok_start)
-    return entry, tok_start
-
-
-@functools.partial(jax.jit, static_argnames=("max_tokens",))
-def decode_phase2(entry, tok_start, seg_start_bits, seg_cid, chunk_tok_base,
-                  words, lut1, lut2, len1, len2, max_tokens: int):
-    """Final pass: decode each segment once from its known entry offset,
-    writing zling-style tokens (matchidx as a following u16) at
-    chunk_tok_base[cid] + tok_start + local position.
-    """
-    seg_end = seg_start_bits.astype(jnp.uint32) + SEG_BITS
-    bit0 = seg_start_bits.astype(jnp.uint32) + entry.astype(jnp.uint32)
-    widx0 = chunk_tok_base[seg_cid] + tok_start
-    tokens = jnp.zeros(max_tokens, jnp.uint16)
-
-    def body(carry):
-        bit_pos, widx, tokens = carry
-        active = bit_pos < seg_end
-        sym, idxtok, nbits, _bad = _advance_flat(
-            bit_pos, seg_cid, words, lut1, lut2, len1, len2)
-        is_match = (sym >= 258) & active
-        w1 = jnp.where(active, widx, max_tokens)
-        tokens = tokens.at[w1].set(sym.astype(jnp.uint16), mode="drop")
-        w2 = jnp.where(is_match, widx + 1, max_tokens)
-        tokens = tokens.at[w2].set(idxtok.astype(jnp.uint16), mode="drop")
-        widx = widx + jnp.where(active, jnp.where(is_match, 2, 1), 0)
-        bit_pos = bit_pos + jnp.where(active, nbits, 0)
-        return bit_pos, widx, tokens
-
-    def cond(carry):
-        return jnp.any(carry[0] < seg_end)
-
-    _, _, tokens = jax.lax.while_loop(cond, body, (bit0, widx0, tokens))
-    return tokens

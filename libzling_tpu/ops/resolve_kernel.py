@@ -1,0 +1,356 @@
+"""Pallas TPU kernel: sequential ROLZ resolve (token stream -> bytes).
+
+The zling resolve stage (reference src/libzling_lz.cpp:318-399) is a
+byte-granular state machine whose contexts are *decoded content*: the ring
+bucket and MTF table a token touches are keyed by the previous output byte,
+so the stage is inherently serial for reference-format streams (DESIGN.md
+section 4).  This kernel runs that serial chain on the TPU scalar core with
+all hot state on-chip, which is the only fast on-device formulation (XLA
+in-loop gathers are ~1000x off; DESIGN.md section 1):
+
+  * the 16 MB output block lives in VMEM as one byte per int32 lane
+    ([131072+, 128] ~ 64 MB; the v5e's 128 MB VMEM holds it -- probed via
+    tools/probe_limits.py).  Scalar-side byte access uses one-hot lane
+    blends/reductions, the Mosaic-legal pattern for dynamic lane indices;
+  * the 256x4096 ring of match source positions is VMEM [8192+, 128] i32,
+    inserted/looked-up with the same one-hot row RMW;
+  * the 256x256 sticky-MTF table, the per-chunk word-MRU, and the ring heads
+    live in SMEM where data-dependent scalar indexing is native;
+  * sequential output bytes accumulate in a register row (cur_row) and only
+    touch VMEM when a 128-byte row fills or a match copy needs coherency;
+  * tokens stream in from HBM in SMEM slabs; finished 512-byte groups are
+    packed 4 bytes/word in-register and DMA'd to HBM.
+
+Grid = one step per chunk, sequential on a core: ring state resets per 16 MB
+block (meta new_block), the MTF table persists across the whole stream, the
+word-MRU resets per chunk -- exactly the reference state lifetimes
+(SURVEY.md section 0).
+
+Bit-exactness: mirrors ops/rolz.py resolve_chunk (the jitted oracle) which
+is golden-tested against the reference binary; corrupt streams (matchidx 0,
+never-written ring slots, forward offsets) are rejected via the status
+output, strictly stronger than the reference (SURVEY.md section 9.10).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tables import MATCH_MIN_LEN
+
+SLAB_TOKENS = 2048            # token slab in SMEM (8 KB)
+OUT_ROWS = 131072 + 16        # 16 MB block + match-copy overshoot slack
+RING_ROWS = 8192 + 32         # 256 ctx * 32 rows + dummy scatter rows
+MTF_WORDS = 257 * 256         # 256 contexts + 1 dummy scatter context
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, n)
+
+
+def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
+                    out_hbm, status_ref,
+                    mtf_ref, head_ref, mru_ref, slab_ref, pers_ref,
+                    ring_ref, out_vmem, stage_ref,
+                    sem_tok, sem_mtf, sem_out,
+                    *, slab_tokens: int, tok_stride: int):
+    c = pl.program_id(0)
+    rlen = meta_ref[0, 0, 0]
+    encpos = meta_ref[0, 0, 1]
+    new_block = meta_ref[0, 0, 2]
+    hbm_base = meta_ref[0, 0, 3]  # block word base in out_hbm, multiple of 128
+    IOTA = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    ROW4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+    LANE4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+
+    # Output bytes use a byte-plane layout: byte p lives at row
+    # (p>>9)*4 + (p&3), lane (p>>2)&127, so each 512-byte group is 4 rows
+    # (one per byte-of-word plane) and packs to LE u32 words with one
+    # row-wise OR combine at flush time.
+
+    def brow(p):
+        return ((_srl(p, 9)) << 2) | (p & 3)
+
+    def blane(p):
+        return _srl(p, 2) & 127
+
+    @pl.when(c == 0)
+    def _():
+        cp = pltpu.make_async_copy(mtf0_ref, mtf_ref, sem_mtf)
+        cp.start()
+        cp.wait()
+
+    @pl.when(new_block == 1)
+    def _():
+        zero = jnp.zeros((32, 128), jnp.int32)
+
+        def zring(i, _):
+            ring_ref[pl.ds(i * 32, 32), :] = zero
+            return 0
+
+        jax.lax.fori_loop(0, RING_ROWS // 32, zring, 0)
+
+        def zhead(i, _):
+            head_ref[0, i] = 0
+            return 0
+
+        jax.lax.fori_loop(0, 258, zhead, 0)
+        pers_ref[0] = 0
+
+    opos0 = pers_ref[0]
+
+    def zmru(i, _):
+        mru_ref[0, i] = 0
+        return 0
+
+    jax.lax.fori_loop(0, 516, zmru, 0)
+
+    tok_base = c * tok_stride
+
+    def load_slab(toff):
+        src = pl.multiple_of(tok_base + toff, 128)
+        cp = pltpu.make_async_copy(tokens_ref.at[0, pl.ds(src, slab_tokens)],
+                                   slab_ref.at[0, :], sem_tok)
+        cp.start()
+        cp.wait()
+
+    load_slab(0)
+
+    def read_byte(p):
+        row = out_vmem[pl.ds(brow(p), 1), :]
+        return jnp.sum(jnp.where(IOTA == blane(p), row, 0))
+
+    cur_row = out_vmem[pl.ds(_srl(opos0, 9) << 2, 4), :]
+    l1_0 = jnp.where(opos0 >= 1, read_byte(jnp.maximum(opos0 - 1, 0)), 0)
+    l2_0 = jnp.where(opos0 >= 2, read_byte(jnp.maximum(opos0 - 2, 0)), 0)
+
+    def body(carry):
+        tpos, toff, opos, l1, l2, cur_row, bad = carry
+
+        # token slab refill (a match consumes two tokens: keep t+1 resident)
+        need = tpos + 1 >= toff + slab_tokens
+
+        @pl.when(need)
+        def _():
+            load_slab((tpos >> 7) << 7)
+
+        toff = jnp.where(need, (tpos >> 7) << 7, toff)
+        t = slab_ref[0, tpos - toff]
+        midx = slab_ref[0, tpos + 1 - toff]
+
+        is_head = opos <= 1   # raw first-2-bytes (libzling_lz.cpp:327-328)
+        is_lit = ~is_head & (t < 256)
+        is_word = ~is_head & (t >= 256) & (t < 258)
+        is_match = ~is_head & (t >= 258)
+        ctx = l1
+
+        # ---- literal via sticky MTF (dummy context 256 when inactive)
+        tl = jnp.where(is_lit, t, 0) & 255
+        lit_byte = mtf_ref[0, ctx * 256 + tl]
+        j = mtfnext_ref[0, tl]
+        other = mtf_ref[0, ctx * 256 + j]
+        mbase = jnp.where(is_lit, ctx, 256) * 256
+        mtf_ref[0, mbase + tl] = other
+        mtf_ref[0, mbase + j] = lit_byte
+
+        # ---- word-MRU probe (chunk-local table)
+        w = mru_ref[0, jnp.where(is_word, ctx * 2 + (t & 1), 514)]
+        b0 = _srl(w, 8) & 255
+        b1 = w & 255
+
+        # ---- ring insert at opos THEN source lookup (libzling_lz.cpp:388-399)
+        rctx = jnp.where(is_head, 256, ctx)
+        h = (head_ref[0, rctx] + 1) & 4095
+        head_ref[0, rctx] = h
+        rrow = jnp.where(is_head, RING_ROWS - 1, ctx * 32 + _srl(h, 7))
+        row = ring_ref[pl.ds(rrow, 1), :]
+        ring_ref[pl.ds(rrow, 1), :] = jnp.where(IOTA == (h & 127), opos, row)
+        ls = (h - midx) & 4095
+        lrow_i = jnp.where(is_match, ctx * 32 + _srl(ls, 7), 0)
+        lrow = ring_ref[pl.ds(lrow_i, 1), :]
+        src = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
+
+        bad = bad | (is_match & ((midx == 0) | (src == 0) | (src >= opos)
+                                 | (tpos + 1 >= rlen)))
+
+        # ---- emit: head/literal = 1 byte, word = 2 bytes (into cur_row)
+        eb0 = jnp.where(is_head, t & 255, jnp.where(is_lit, lit_byte, b0))
+        n_simple = jnp.where(is_match, 0, jnp.where(is_word, 2, 1))
+
+        def put(cur_row, p, val, active):
+            cur_row = jnp.where(
+                active & (ROW4 == (p & 3)) & (LANE4 == blane(p)), val, cur_row)
+            full = active & ((p & 511) == 511)
+
+            @pl.when(full)
+            def _():
+                out_vmem[pl.ds(_srl(p, 9) << 2, 4), :] = cur_row
+
+            return jnp.where(full, 0, cur_row)
+
+        cur_row = put(cur_row, opos, eb0, n_simple >= 1)
+        cur_row = put(cur_row, opos + 1, b1, n_simple >= 2)
+
+        # ---- match copy: flush cur_row for coherency, then strict forward
+        # byte order (equals the reference's overlapping-copy semantics,
+        # libzling_lz.cpp:91-104), reloading cur_row at the new position
+        mlen = jnp.where(is_match, t - 258 + MATCH_MIN_LEN, 0)
+
+        @pl.when(is_match)
+        def _():
+            out_vmem[pl.ds(_srl(opos, 9) << 2, 4), :] = cur_row
+
+        def cbody(i, cc):
+            b3c, b2c, b1c = cc
+            sp = src + i
+            dp = opos + i
+            v = read_byte(sp)
+            drow = out_vmem[pl.ds(brow(dp), 1), :]
+            out_vmem[pl.ds(brow(dp), 1), :] = jnp.where(
+                IOTA == blane(dp), v, drow)
+            return b2c, b1c, v
+
+        cb3, cb2, cb1 = jax.lax.fori_loop(
+            0, mlen, cbody, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+        new_opos = opos + jnp.where(is_match, mlen, n_simple)
+        reload = out_vmem[
+            pl.ds(jnp.where(is_match, _srl(new_opos, 9) << 2, 0), 4), :]
+        cur_row = jnp.where(is_match, reload, cur_row)
+
+        # ---- unified word-MRU push (libzling_lz.cpp:163-166,181-182,190-191)
+        cu = jnp.where(is_lit, l2, jnp.where(is_match, cb3, ctx))
+        wu = jnp.where(is_lit, ctx * 256 + lit_byte,
+                       jnp.where(is_match, cb2 * 256 + cb1, w))
+        old0 = mru_ref[0, cu * 2]
+        push = is_lit | (is_word & ((t & 1) == 1)) | (is_match & (old0 != wu))
+        pb = jnp.where(push, cu * 2, 514)
+        mru_ref[0, pb + 1] = old0
+        mru_ref[0, pb] = wu
+
+        new_l1 = jnp.where(is_match, cb1, jnp.where(is_word, b1, eb0))
+        new_l2 = jnp.where(is_match, cb2, jnp.where(is_word, b0, l1))
+
+        bad = bad | (new_opos > encpos)
+        tpos = tpos + 1 + is_match.astype(jnp.int32)
+        return tpos, toff, new_opos, new_l1, new_l2, cur_row, bad
+
+    def cond(carry):
+        return (carry[0] < rlen) & ~carry[6]
+
+    tpos, _toff, opos, _l1, _l2, cur_row, bad = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.int32(0), opos0, l1_0, l2_0, cur_row,
+         jnp.bool_(False)))
+
+    # flush the partial group, then pack this chunk's 512-byte groups
+    # (4 bytes/word LE) and DMA them to the block's HBM range; the group
+    # straddling the previous chunk boundary is re-sent with newer content
+    out_vmem[pl.ds(_srl(opos, 9) << 2, 4), :] = cur_row
+
+    @pl.when(opos > opos0)
+    def _():
+        def fbody(k, _):
+            r = k * 4
+            v0 = out_vmem[pl.ds(r, 1), :]
+            v1 = out_vmem[pl.ds(r + 1, 1), :]
+            v2 = out_vmem[pl.ds(r + 2, 1), :]
+            v3 = out_vmem[pl.ds(r + 3, 1), :]
+            stage_ref[0:1, :] = v0 | (v1 << 8) | (v2 << 16) | (v3 << 24)
+            dst = pl.multiple_of(hbm_base + k * 128, 128)
+            cp = pltpu.make_async_copy(stage_ref.at[0, :],
+                                       out_hbm.at[0, pl.ds(dst, 128)],
+                                       sem_out)
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(_srl(opos0, 9), _srl(opos - 1, 9) + 1, fbody, 0)
+
+    pers_ref[0] = opos
+    status_ref[0, 0, 0] = opos
+    status_ref[0, 0, 1] = tpos
+    status_ref[0, 0, 2] = (bad | (opos != encpos)).astype(jnp.int32)
+    status_ref[0, 0, 3] = opos0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "slab_tokens",
+                                             "tok_stride", "out_words"))
+def _resolve_call(mtfnext, meta, mtf0, tokens_flat, interpret: bool = False,
+                  slab_tokens: int = SLAB_TOKENS, tok_stride: int = 0,
+                  out_words: int = 0):
+    C = meta.shape[0]
+    kernel = pl.pallas_call(
+        functools.partial(_resolve_kernel, slab_tokens=slab_tokens,
+                          tok_stride=tok_stride),
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, out_words), jnp.int32),
+            jax.ShapeDtypeStruct((C, 8, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, MTF_WORDS), jnp.int32),
+            pltpu.SMEM((1, 258), jnp.int32),
+            pltpu.SMEM((1, 516), jnp.int32),
+            pltpu.SMEM((1, slab_tokens), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.VMEM((RING_ROWS, 128), jnp.int32),
+            pltpu.VMEM((OUT_ROWS, 128), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    return kernel(mtfnext, meta, mtf0, tokens_flat)
+
+
+def resolve_stream(tokens_flat, rlens, encpos, new_block, hbm_word_base,
+                   tok_stride: int, out_words: int, interpret: bool = False,
+                   slab_tokens: int = SLAB_TOKENS):
+    """Resolve all chunks of a stream on device.
+
+    tokens_flat: [1, C * tok_stride] i32 device array (entropy-kernel output
+    layout); rlens/encpos/new_block/hbm_word_base: per-chunk i32 metadata
+    (hbm_word_base = the owning block's word offset in the output, a
+    multiple of 128).  Returns (out_words [1, out_words] i32 device array of
+    packed LE bytes, status [C, 8]: [:,0]=opos, [:,1]=tokens consumed,
+    [:,2]=bad).
+    """
+    from .mtf import _J_MTF_NEXT, initial_state
+
+    C = len(rlens)
+    meta = np.zeros((C, 8, 128), np.int32)
+    meta[:, 0, 0] = rlens
+    meta[:, 0, 1] = encpos
+    meta[:, 0, 2] = new_block
+    meta[:, 0, 3] = hbm_word_base
+    r2s, _ = initial_state()
+    mtf0 = np.zeros((1, MTF_WORDS), np.int32)
+    mtf0[0, :65536] = np.asarray(r2s, np.int32).reshape(-1)
+    mtfnext = np.asarray(_J_MTF_NEXT(), np.int32).reshape(1, 256)
+    return _resolve_call(
+        jnp.asarray(mtfnext), jnp.asarray(meta), jnp.asarray(mtf0),
+        tokens_flat, interpret=interpret, slab_tokens=slab_tokens,
+        tok_stride=tok_stride, out_words=out_words)

@@ -1,23 +1,35 @@
-"""Block-data-parallel encode over a jax.sharding.Mesh.
+"""Block-data-parallel encode over a jax.sharding.Mesh — canonical streams.
 
-The zling format's large-grain parallel axis is the 16 MB input block: ROLZ
-bucket state resets at block boundaries (SURVEY.md section 0.2), so
-tokenization shards cleanly.  The single cross-block dependency is the MTF
-table chain (section 0.3) -- a sequence-parallel-shaped problem: tokenize
-emits raw literals in parallel, then the 128 KB MTF state threads through the
-blocks in order.  Here that carry is expressed as a wavefront inside
-shard_map: D iterations over the block axis, each broadcasting the updated
-state with a psum (on hardware this rides the ICI).
+The zling format's large-grain parallel axis is the input block: ROLZ bucket
+state resets at block boundaries (SURVEY.md section 0.2), so tokenization
+shards cleanly over devices.  This module reproduces the *canonical* stream:
+``mesh_encode(data, level)`` is byte-identical to ``spec.encode(data,
+level)`` at equal geometry — multi-chunk blocks, the adaptive level drop
+(reference src/libzling.cpp:261-266), the cross-block MTF carry, and the
+cross-block level carry are all replicated.
 
-``parallel_encode_step`` is the jittable multi-chip "step" (the training-step
-analog): tokenize + MTF wavefront + histograms + bit-pack, all under one
-shard_map.  The host wrapper ``mesh_encode`` runs real streams through it and
-assembles the container in block order; per-chunk exact Huffman lengths come
-from the host between the two device stages.
+Structure per group of D blocks (one per device):
+
+  [device] tokenize each block as its chunk sequence (raw literals),
+           under an optimistic per-chunk level schedule
+  [device] MTF carry: an O(D) ppermute neighbor-handoff chain -- device k
+           relabels its literals with the state received from device k-1
+           and hands the updated 128 KB state to k+1 (one final psum
+           broadcasts the group-exit state) -- DESIGN.md section 3.5
+  [host]   exact per-chunk Huffman length tables (native batch build)
+  [device] per-chunk canonical codes + bit-pack
+  [host]   validate the level schedule against realized chunk ratios;
+           re-run the group with the corrected schedule on (rare)
+           mispredicts; assemble the container in block order
+
+Host gathers go through ``host_gather`` which uses
+``multihost_utils.process_allgather`` under multi-process runs, so the same
+code drives a single host or a pod slice (SURVEY.md section 5 distributed
+notes; tests/test_multihost.py runs the 2-process CPU simulation).
 
 Decode does not scale this way for reference-format streams: the resolve
-stage's contexts are decoded content, and the MTF chain crosses blocks, so
-decode parallelism is pipeline-style only (see pipeline.py).
+stage's contexts are decoded content and the MTF chain crosses blocks, so
+decode parallelism is pipeline-style only (pipeline.py, device.py).
 """
 
 from __future__ import annotations
@@ -35,14 +47,19 @@ from ..ops import mtf as mops
 from ..ops import rolz as rops
 from ..tables import (
     BLOCK_SIZE_HUFFMAN,
+    BLOCK_SIZE_IN,
+    BLOCK_SIZE_ROLZ,
     HUFFMAN_CODES_1,
     HUFFMAN_CODES_2,
     HUFFMAN_MAX_LEN_1,
     HUFFMAN_MAX_LEN_2,
     LEVEL_PARAMS,
+    SENTINEL_LEN,
 )
 
 AXIS = "blocks"
+_LEVEL_TABLE = np.asarray([LEVEL_PARAMS[l] for l in sorted(LEVEL_PARAMS)],
+                          np.int32)
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -50,152 +67,269 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(devices, (AXIS,))
 
 
-def _tokenize_and_relabel(block, ilen, depth, lazy1, lazy2, r2s0, s2r0,
-                          max_units: int):
-    """Per-device tokenize (one chunk) + cross-device MTF wavefront.
+def shard_put(arr: np.ndarray, mesh: Mesh, spec: P):
+    """Place a host array onto the mesh with the given partitioning,
+    multi-process safe: each process materializes only its addressable
+    shards (the host array is identical on every process)."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
+    return jax.device_put(arr, sharding)
 
-    Runs inside shard_map; block/ilen are the device-local shard; r2s0/s2r0
-    is the MTF state carried in from the previous block group.
-    Returns (sym2, idx, valid, n_tok, encpos, r2s_final, s2r_final).
+
+def host_gather(x) -> np.ndarray:
+    """Fetch a (possibly sharded) device array to the host, multi-process
+    safe: under jax.distributed each process only holds addressable shards,
+    so a plain np.asarray would fail — process_allgather assembles the
+    global array on every host (SURVEY.md section 5)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def _tokenize_block_chunks(block, ilen, levels, max_tokens: int,
+                           max_chunks: int, chunk_units: int):
+    """Tokenize one block as its ROLZ chunk sequence (EncodeImpl loop,
+    src/libzling.cpp:199-277), raw literals, per-chunk level schedule."""
+    ltab = jnp.asarray(_LEVEL_TABLE)
+
+    def body(carry):
+        state, pos, cidx, sym, idx, upos, kind, nunits, ntoks, encpos = carry
+        lv = levels[jnp.minimum(cidx, max_chunks - 1)]
+        depth, lazy1, lazy2 = ltab[lv, 0], ltab[lv, 1], ltab[lv, 2]
+        state, sym_c, idx_c, upos_c, kind_c, nu, nt, pos = rops.tokenize_chunk(
+            state, block, ilen, pos, depth, lazy1, lazy2,
+            jnp.int32(max_tokens), chunk_units)
+        sym = jax.lax.dynamic_update_index_in_dim(sym, sym_c, cidx, 0)
+        idx = jax.lax.dynamic_update_index_in_dim(idx, idx_c, cidx, 0)
+        upos = jax.lax.dynamic_update_index_in_dim(upos, upos_c, cidx, 0)
+        kind = jax.lax.dynamic_update_index_in_dim(kind, kind_c, cidx, 0)
+        nunits = nunits.at[cidx].set(nu)
+        ntoks = ntoks.at[cidx].set(nt)
+        encpos = encpos.at[cidx].set(pos)
+        return state, pos, cidx + 1, sym, idx, upos, kind, nunits, ntoks, encpos
+
+    def cond(carry):
+        _state, pos, cidx = carry[0], carry[1], carry[2]
+        return (pos < ilen) & (cidx < max_chunks)
+
+    z2 = jnp.zeros((max_chunks, chunk_units), jnp.int32)
+    z1 = jnp.zeros(max_chunks, jnp.int32)
+    init = (rops.enc_state_init(), jnp.int32(0), jnp.int32(0),
+            z2, z2, z2, z2, z1, z1, z1)
+    (_state, _pos, n_chunks, sym, idx, upos, kind, nunits, ntoks,
+     encpos) = jax.lax.while_loop(cond, body, init)
+    return sym, idx, upos, kind, nunits, ntoks, encpos, n_chunks
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "max_tokens", "max_chunks", "chunk_units"))
+def parallel_encode_step(blocks, ilens, levels, r2s0, s2r0, *, mesh: Mesh,
+                         max_tokens: int, max_chunks: int, chunk_units: int):
+    """Stage 1 of canonical block-DP encode: tokenize + MTF carry + counts.
+
+    blocks [D, B] u8 (padded); ilens [D]; levels [D, max_chunks] per-chunk
+    schedule; r2s0/s2r0 replicated carried MTF state.  Returns per-chunk
+    symbol/index/valid arrays, chunk metadata, histograms, and the
+    replicated MTF state after the whole group.
     """
-    state = rops.enc_state_init()
-    state, sym, idx, upos, kind, n_units, n_tok, pos = rops.tokenize_chunk(
-        state, block, ilen, jnp.int32(0), depth, lazy1, lazy2,
-        jnp.int32(max_units + 8), max_units)
+    D = mesh.devices.size
 
-    valid = jnp.arange(max_units) < n_units
-    is_lit = valid & (kind == rops.KIND_LITERAL)
-    lit_ctx = block[jnp.maximum(upos - 1, 0)].astype(jnp.int32)
-    lit_raw = block[upos].astype(jnp.int32)
+    def step(block, ilen, levels, r2s0, s2r0):
+        sym, idx, upos, kind, nunits, ntoks, encpos, n_chunks = \
+            _tokenize_block_chunks(block[0], ilen[0], levels[0], max_tokens,
+                                   max_chunks, chunk_units)
+        U = max_chunks * chunk_units
+        sym_f = sym.reshape(U)
+        upos_f = upos.reshape(U)
+        kind_f = kind.reshape(U)
+        valid = (jnp.arange(chunk_units)[None, :] < nunits[:, None])
+        valid_f = valid.reshape(U)
+        is_lit = valid_f & (kind_f == rops.KIND_LITERAL)
+        lit_ctx = block[0][jnp.maximum(upos_f - 1, 0)].astype(jnp.int32)
+        lit_raw = block[0][upos_f].astype(jnp.int32)
 
-    # MTF wavefront: block b's literals see the state left by blocks 0..b-1.
-    # Each iteration, block k relabels and the new state is psum-broadcast.
-    D = jax.lax.axis_size(AXIS)
-    me = jax.lax.axis_index(AXIS)
+        # O(D) ppermute carry chain (DESIGN.md section 3.5): at step k only
+        # device k holds the true MTF state; it relabels and hands the
+        # updated state to its right neighbor over the ICI ring.
+        me = jax.lax.axis_index(AXIS)
+        ring = [(i, (i + 1) % D) for i in range(D)]
 
-    def chain(k, carry):
-        r2s, s2r, my_ranks = carry
-        ranks_k, r2s_k, s2r_k = mops.encode_relabel(r2s, s2r, lit_ctx, lit_raw, is_lit)
-        mine = me == k
-        my_ranks = jnp.where(mine, ranks_k, my_ranks)
-        r2s = jax.lax.psum(jnp.where(mine, r2s_k, 0), AXIS)
-        s2r = jax.lax.psum(jnp.where(mine, s2r_k, 0), AXIS)
-        return r2s, s2r, my_ranks
+        def chain(k, carry):
+            r2s, s2r, my_ranks = carry
+            ranks_k, r2s_k, s2r_k = mops.encode_relabel(
+                r2s, s2r, lit_ctx, lit_raw, is_lit)
+            mine = me == k
+            my_ranks = jnp.where(mine, ranks_k, my_ranks)
+            r2s = jnp.where(mine, r2s_k, r2s)
+            s2r = jnp.where(mine, s2r_k, s2r)
+            r2s = jax.lax.ppermute(r2s, AXIS, ring)
+            s2r = jax.lax.ppermute(s2r, AXIS, ring)
+            return r2s, s2r, my_ranks
 
-    r2s, s2r, ranks = jax.lax.fori_loop(
-        0, D, chain, (r2s0, s2r0, jnp.zeros(max_units, jnp.int32)))
-    sym2 = jnp.where(is_lit, ranks, sym)
-    return sym2, idx, valid, n_tok, pos, r2s, s2r
+        r2s, s2r, ranks = jax.lax.fori_loop(
+            0, D, chain, (r2s0, s2r0, jnp.zeros(U, jnp.int32)))
+        # after D handoffs the group-exit state sits on device 0: broadcast
+        r2s = jax.lax.psum(jnp.where(me == 0, r2s, 0), AXIS)
+        s2r = jax.lax.psum(jnp.where(me == 0, s2r, 0), AXIS)
 
-
-@functools.partial(jax.jit, static_argnames=("mesh", "max_units", "out_words"))
-def parallel_encode_step(blocks, ilens, depth, lazy1, lazy2, r2s0, s2r0, *,
-                         mesh: Mesh, max_units: int, out_words: int):
-    """Stage 1 of block-DP encode: everything before the Huffman tables.
-
-    blocks: [D, B] uint8 (padded); ilens: [D] int32; r2s0/s2r0: carried MTF
-    state (replicated).  Returns per-block (sym2 [D, U], idx [D, U],
-    valid [D, U], n_tok [D], encpos [D], freq1 [D, 514], freq2 [D, 32]) plus
-    the replicated MTF state after the whole group.
-    """
-
-    def step(block, ilen, r2s0, s2r0):
-        sym2, idx, valid, n_tok, encpos, r2s, s2r = _tokenize_and_relabel(
-            block[0], ilen[0], depth, lazy1, lazy2, r2s0, s2r0, max_units)
-        freq1, freq2 = hops.unit_histograms(sym2, idx, valid)
-        return (sym2[None], idx[None], valid[None], n_tok[None], encpos[None],
-                freq1[None], freq2[None], r2s, s2r)
+        sym2 = jnp.where(is_lit, ranks, sym_f).reshape(max_chunks, chunk_units)
+        freq1, freq2 = jax.vmap(hops.unit_histograms)(sym2, idx, valid)
+        return (sym2[None], idx[None], valid[None], nunits[None], ntoks[None],
+                encpos[None], n_chunks[None], freq1[None], freq2[None],
+                r2s, s2r)
 
     return jax.shard_map(
         step, mesh=mesh, check_vma=False,
-        in_specs=(P(AXIS, None), P(AXIS), P(), P()),
-        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS),
-                   P(AXIS), P(AXIS, None), P(AXIS, None), P(), P()),
-    )(blocks, ilens, r2s0, s2r0)
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(), P()),
+        out_specs=(P(AXIS, None, None), P(AXIS, None, None),
+                   P(AXIS, None, None), P(AXIS, None), P(AXIS, None),
+                   P(AXIS, None), P(AXIS), P(AXIS, None, None),
+                   P(AXIS, None, None), P(), P()),
+    )(blocks, ilens, levels, r2s0, s2r0)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "out_words"))
-def parallel_pack_step(sym2, idx, valid, len1, enc1, len2, enc2, *, mesh: Mesh,
-                       out_words: int):
-    """Stage 2: per-block bit-packing with that block's Huffman tables."""
+def parallel_pack_step(sym2, idx, valid, len1, enc1, len2, enc2, *,
+                       mesh: Mesh, out_words: int):
+    """Stage 2: per-chunk bit-packing with each chunk's Huffman tables."""
 
     def step(sym2, idx, valid, len1, enc1, len2, enc2):
-        words, bits = hops.pack_units(
-            sym2[0], idx[0], valid[0], len1[0], enc1[0], len2[0], enc2[0], out_words)
+        pack = functools.partial(hops.pack_units, out_words=out_words)
+        words, bits = jax.vmap(pack)(sym2[0], idx[0], valid[0], len1[0],
+                                     enc1[0], len2[0], enc2[0])
         return words[None], bits[None]
 
     return jax.shard_map(
         step, mesh=mesh, check_vma=False,
-        in_specs=(P(AXIS, None),) * 7,
-        out_specs=(P(AXIS, None), P(AXIS)),
+        in_specs=(P(AXIS, None, None),) * 7,
+        out_specs=(P(AXIS, None, None), P(AXIS, None)),
     )(sym2, idx, valid, len1, enc1, len2, enc2)
 
 
-def mesh_encode(data: bytes, level: int, mesh: Mesh | None = None,
-                block_size: int = 1 << 17) -> bytes:
-    """Encode a stream with blocks sharded over the mesh.
+def _payload_bytes(bits: int) -> int:
+    """Compressed payload size for a bit count (ZlingCodebuf drain rule:
+    whole 4-byte groups, then whole bytes, src/libzling.cpp:248-257)."""
+    return (bits // 32) * 4 + (bits % 32 + 7) // 8
 
-    Uses ``block_size``-byte framework blocks (any size <= 16 MB yields a
-    valid, reference-decodable stream; smaller blocks trade a little ratio
-    for more parallelism).  block_size <= 128 KB guarantees one ROLZ chunk
-    per block (worst case one token per byte stays under the 262,144-token
-    chunk cap), which keeps the step shape static.
+
+def mesh_encode(data: bytes, level: int, mesh: Mesh | None = None,
+                block_size: int = BLOCK_SIZE_IN,
+                max_tokens: int = BLOCK_SIZE_ROLZ) -> bytes:
+    """Encode with blocks sharded over the mesh; byte-identical to
+    ``spec.encode(data, level, block_size=block_size, max_tokens=max_tokens)``
+    (canonical reference stream at default geometry).
     """
+    if level not in LEVEL_PARAMS:
+        raise ValueError("level must be 0..6")
+    if not data:
+        return b""
     if mesh is None:
         mesh = make_mesh()
     D = mesh.devices.size
-    depth, lazy1, lazy2 = (jnp.int32(v) for v in LEVEL_PARAMS[level])
-    max_units = block_size  # worst case one literal per byte
-    out_words = BLOCK_SIZE_HUFFMAN // 4 + 16
-    pad = 384
+    # a unit consumes >= 1 input byte, so units/chunk <= min(cap, block)
+    chunk_units = min(max_tokens, block_size + 8)
+    max_chunks = max(1, -(-block_size // max(1, max_tokens // 2))) + 1
+    out_words = min(BLOCK_SIZE_HUFFMAN // 4, chunk_units * 2) + 16
+    pad = SENTINEL_LEN + 128
 
+    header = (HUFFMAN_CODES_1 + HUFFMAN_CODES_2) // 2
     nblocks = (len(data) + block_size - 1) // block_size
     out = bytearray()
     r2s, s2r = mops.initial_state()
+    current_level = level
+
     for group in range(0, nblocks, D):
-        gblocks = []
-        gilens = []
+        gblocks, gilens = [], []
         for d in range(D):
-            b = group + d
-            blk = data[b * block_size: (b + 1) * block_size]
+            blk = data[(group + d) * block_size: (group + d + 1) * block_size]
             gilens.append(len(blk))
             gblocks.append(np.frombuffer(
                 blk + bytes(block_size + pad - len(blk)), np.uint8))
-        blocks = jax.device_put(
-            np.stack(gblocks), NamedSharding(mesh, P(AXIS, None)))
-        ilens = jax.device_put(
-            np.asarray(gilens, np.int32), NamedSharding(mesh, P(AXIS)))
-        (sym2, idx, valid, n_tok, encpos, freq1, freq2, r2s, s2r) = \
-            parallel_encode_step(
-                blocks, ilens, depth, lazy1, lazy2, r2s, s2r, mesh=mesh,
-                max_units=max_units, out_words=out_words)
-        # host: exact per-block Huffman tables
-        f1 = np.asarray(freq1)
-        f2 = np.asarray(freq2)
-        len1 = hops.exact_length_tables(f1, HUFFMAN_MAX_LEN_1)
-        len2 = hops.exact_length_tables(f2, HUFFMAN_MAX_LEN_2)
-        enc1 = hops.canonical_codes(jnp.asarray(len1), HUFFMAN_MAX_LEN_1)
-        enc2 = hops.canonical_codes(jnp.asarray(len2), HUFFMAN_MAX_LEN_2)
-        jl1 = jax.device_put(jnp.asarray(len1), NamedSharding(mesh, P(AXIS, None)))
-        jl2 = jax.device_put(jnp.asarray(len2), NamedSharding(mesh, P(AXIS, None)))
-        je1 = jax.device_put(enc1, NamedSharding(mesh, P(AXIS, None)))
-        je2 = jax.device_put(enc2, NamedSharding(mesh, P(AXIS, None)))
-        words, bits = parallel_pack_step(
-            sym2, idx, valid, jl1, je1, jl2, je2, mesh=mesh, out_words=out_words)
-        # host: ordered ragged gather + container framing
-        words_np = np.asarray(words)
-        bits_np = np.asarray(bits)
-        ntok_np = np.asarray(n_tok)
-        encpos_np = np.asarray(encpos)
+        blocks = shard_put(np.stack(gblocks), mesh, P(AXIS, None))
+        ilens = shard_put(np.asarray(gilens, np.int32), mesh, P(AXIS))
+        # optimistic schedule: requested level everywhere except a carried
+        # level-0 entry chunk
+        sched = np.full((D, max_chunks), level, np.int32)
+        sched[0, 0] = current_level
+        r2s_snap, s2r_snap = r2s, s2r
+
+        while True:
+            lv = shard_put(sched, mesh, P(AXIS, None))
+            (sym2, idx, valid, nunits, ntoks, encpos, n_chunks, freq1, freq2,
+             r2s_new, s2r_new) = parallel_encode_step(
+                blocks, ilens, lv, r2s_snap, s2r_snap, mesh=mesh,
+                max_tokens=max_tokens, max_chunks=max_chunks,
+                chunk_units=chunk_units)
+            nchunks_np = host_gather(n_chunks)
+            f1 = host_gather(freq1).reshape(D * max_chunks, HUFFMAN_CODES_1)
+            f2 = host_gather(freq2).reshape(D * max_chunks, HUFFMAN_CODES_2)
+            len1 = hops.exact_length_tables(f1, HUFFMAN_MAX_LEN_1) \
+                .reshape(D, max_chunks, HUFFMAN_CODES_1)
+            len2 = hops.exact_length_tables(f2, HUFFMAN_MAX_LEN_2) \
+                .reshape(D, max_chunks, HUFFMAN_CODES_2)
+            enc1 = hops.canonical_codes(
+                jnp.asarray(len1.reshape(-1, HUFFMAN_CODES_1)),
+                HUFFMAN_MAX_LEN_1).reshape(D, max_chunks, HUFFMAN_CODES_1)
+            enc2 = hops.canonical_codes(
+                jnp.asarray(len2.reshape(-1, HUFFMAN_CODES_2)),
+                HUFFMAN_MAX_LEN_2).reshape(D, max_chunks, HUFFMAN_CODES_2)
+            words, bits = parallel_pack_step(
+                sym2, idx, valid,
+                shard_put(len1, mesh, P(AXIS, None, None)),
+                shard_put(np.asarray(enc1), mesh, P(AXIS, None, None)),
+                shard_put(len2, mesh, P(AXIS, None, None)),
+                shard_put(np.asarray(enc2), mesh, P(AXIS, None, None)),
+                mesh=mesh, out_words=out_words)
+            bits_np = host_gather(bits)
+            encpos_np = host_gather(encpos)
+
+            # serial schedule validation (the adaptive drop couples chunk
+            # k+1 to chunk k across block boundaries, libzling.cpp:261-266).
+            # The first mismatch is fixed exactly (its prefix is valid, so
+            # its tokens are final); later chunks are re-predicted from the
+            # realized ratios as an approximation and re-validated on the
+            # next pass — converges because the true first-mismatch position
+            # advances strictly each iteration, and typically in <= 2 passes.
+            expected = current_level
+            any_fix = False
+            for d in range(D):
+                if group + d >= nblocks or gilens[d] == 0:
+                    continue
+                prev_end = 0
+                for c in range(int(nchunks_np[d])):
+                    if int(sched[d, c]) != expected:
+                        sched[d, c] = expected
+                        any_fix = True
+                    ep = int(encpos_np[d, c])
+                    olen = header + _payload_bytes(int(bits_np[d, c]))
+                    expected = 0 if olen / (ep - prev_end + 1) > 0.95 else level
+                    prev_end = ep
+                # chunk boundaries may shift after fixes: predict the tail
+                sched[d, int(nchunks_np[d]):] = expected
+            if not any_fix:
+                break
+
+        # ---- host: ordered gather + container framing
+        words_np = host_gather(words)
+        ntoks_np = host_gather(ntoks)
         for d in range(D):
             if group + d >= nblocks or gilens[d] == 0:
                 continue
-            payload = hops.payload_from_words(
-                words_np[d], int(bits_np[d]), len1[d], len2[d])
-            out.append(1)
-            out.extend(int(encpos_np[d]).to_bytes(4, "big"))
-            out.extend(int(ntok_np[d]).to_bytes(4, "big"))
-            out.extend(len(payload).to_bytes(4, "big"))
-            out.extend(payload)
+            prev_end = 0
+            for c in range(int(nchunks_np[d])):
+                payload = hops.payload_from_words(
+                    words_np[d, c], int(bits_np[d, c]), len1[d, c], len2[d, c])
+                out.append(1)
+                out.extend(int(encpos_np[d, c]).to_bytes(4, "big"))
+                out.extend(int(ntoks_np[d, c]).to_bytes(4, "big"))
+                out.extend(len(payload).to_bytes(4, "big"))
+                out.extend(payload)
+                prev_end = int(encpos_np[d, c])
             out.append(0)
+        current_level = expected
+        r2s, s2r = r2s_new, s2r_new
     return bytes(out)

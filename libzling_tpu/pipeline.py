@@ -32,6 +32,7 @@ import numpy as np
 
 from .native import engine as native
 from .tables import BLOCK_SIZE_IN, BLOCK_SIZE_HUFFMAN, BLOCK_SIZE_ROLZ, SENTINEL_LEN
+from .utils import metrics
 
 _MAX_CHUNKS = 192           # >= ceil(16MB / 131072) worst-case chunks per block
 # worst case one token per input byte, plus one chunk of 2-token slack
@@ -74,6 +75,8 @@ def _bind(dll):
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int,
     ]
+    dll.zlt_counters.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    dll.zlt_counters_reset.argtypes = [ctypes.c_void_p]
     dll._zlt_pipeline_ready = True
 
 
@@ -158,6 +161,7 @@ class _TokenizerPool:
         self.dll = dll
         self.local = threading.local()
         self.free: queue.Queue = queue.Queue()
+        self.handles: list[int] = []  # all per-thread engines, for counters
         for _ in range(nbuffers):
             self.free.put(np.empty(_MAX_BLOCK_TOKENS, np.uint16))
 
@@ -166,6 +170,7 @@ class _TokenizerPool:
         if h is None:
             h = self.dll.zlt_tokenizer_new()
             self.local.h = h
+            self.handles.append(h)
         return h
 
     def take_buffer(self):
@@ -322,11 +327,14 @@ class ParallelEncoder:
                         self.ent_free.put(scratch)
                         opos += 13 + olen
                         lvl = 0 if olen / (ep - prev_end + 1) > 0.95 else level
+                        if lvl == 0 and level != 0:
+                            metrics.registry.count("enc.level_drops")
                         prev_end = ep
                     if mispredict_at < 0:
                         current_level = lvl
                         break
                     opos = opos_block
+                    metrics.registry.count("enc.schedule_mispredicts")
                     # mispredicted: rebuild the schedule (validated prefix +
                     # the corrected level) and re-tokenize this block serially
                     sched = np.full(_MAX_CHUNKS, level, np.int32)
@@ -353,6 +361,20 @@ class ParallelEncoder:
                 except Exception:
                     pass
         return out[:opos].tobytes(), (self.mtf_state_bytes(), current_level)
+
+    _COUNTER_NAMES = ("bucket_updates", "chain_steps", "match_succ",
+                      "match_fail", "lazy_skips", "word_hits", "literals",
+                      "match_bytes")
+
+    def counters(self) -> dict[str, int]:
+        """Aggregate match-loop counters from every tokenizer thread
+        (reference debug-counter analog, src/libzling_lz.cpp:226-287)."""
+        buf = np.zeros(8, np.uint64)
+        total = np.zeros(8, np.uint64)
+        for h in self.tok.handles:
+            self.dll.zlt_counters(h, buf.ctypes.data)
+            total += buf
+        return dict(zip(self._COUNTER_NAMES, (int(v) for v in total)))
 
     def mtf_state_bytes(self, reset: bool = False) -> bytes:
         if reset:
@@ -518,3 +540,14 @@ def decode(data: bytes) -> bytes:
         if _DEC is None:
             _DEC = ParallelDecoder()
         return _DEC.decode(bytes(data))
+
+
+def counters() -> dict[str, int]:
+    """Match-loop counters of the module-level encoder plus the host
+    metrics registry (level drops, schedule mispredicts)."""
+    out: dict[str, int] = {}
+    with _ENC_LOCK:
+        if _ENC is not None:
+            out.update(_ENC.counters())
+    out.update(metrics.registry.snapshot()["counters"])
+    return out

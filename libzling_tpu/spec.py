@@ -673,17 +673,27 @@ class EncodeStats:
     chunk_sizes: list[int] = field(default_factory=list)
 
 
-def encode(data: bytes, level: int = 0, stats: EncodeStats | None = None) -> bytes:
+def encode(data: bytes, level: int = 0, stats: EncodeStats | None = None,
+           block_size: int = BLOCK_SIZE_IN,
+           max_tokens: int = BLOCK_SIZE_ROLZ) -> bytes:
     """Compress ``data``; bit-exact with baidu::zling::Encode (src/libzling.cpp:174-291)
     at levels 0-4; levels 5-6 are framework extensions (deeper search,
-    reference-decodable output)."""
+    reference-decodable output).
+
+    ``block_size``/``max_tokens`` shrink the input-block / ROLZ-chunk
+    geometry (framework extension: any smaller geometry still yields a
+    reference-decodable stream).  The defaults are the canonical reference
+    constants; tests use small values to exercise multi-block/multi-chunk
+    logic at spec speed, and parallel backends are validated byte-for-byte
+    against this function at equal geometry.
+    """
     if level not in LEVEL_PARAMS:
         raise ValueError("level must be 0..6")
     out = bytearray()
     enc = RolzEncoder()
     current_level = level
-    for bstart in range(0, len(data), BLOCK_SIZE_IN):
-        block = bytearray(data[bstart:bstart + BLOCK_SIZE_IN])
+    for bstart in range(0, len(data), block_size):
+        block = bytearray(data[bstart:bstart + block_size])
         ilen = len(block)
         block.extend(bytes(SENTINEL_LEN))
         enc.reset()
@@ -691,7 +701,8 @@ def encode(data: bytes, level: int = 0, stats: EncodeStats | None = None) -> byt
         while encpos < ilen:
             out.append(FLAG_CHUNK_CONTINUE)
             encpos_old = encpos
-            tokens, encpos = enc.encode_chunk(current_level, block, ilen, encpos)
+            tokens, encpos = enc.encode_chunk(current_level, block, ilen,
+                                              encpos, max_tokens)
             payload = huffman_encode_chunk(tokens)
             olen = len(payload)
             # adaptive level drop for incompressible chunks (libzling.cpp:261-266)

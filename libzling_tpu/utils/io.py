@@ -73,13 +73,32 @@ class FileSink(ByteSink):
 class CodecHooks:
     """Observability seam (ActionHandler analog, src/libzling_utils.h:64-87).
 
-    on_block fires once per processed block group with
-    (bytes_in_so_far, bytes_out_so_far).
+    on_block fires once per 16 MB input block, as the reference does
+    (src/libzling.cpp:282,418), with (bytes_in_so_far, bytes_out_so_far).
     """
 
     on_init: Callable[[], None] | None = None
     on_block: Callable[[int, int], None] | None = None
     on_done: Callable[[int, int, float], None] | None = None
+
+
+def _per_block_sizes(span: bytes) -> list[tuple[int, int]]:
+    """(decoded_bytes, stream_bytes) of every complete input_block in span."""
+    out = []
+    pos, block_start, last_encpos = 0, 0, 0
+    n = len(span)
+    while pos < n:
+        flag = span[pos]
+        pos += 1
+        if flag == 0:
+            out.append((last_encpos, pos - block_start))
+            block_start = pos
+            last_encpos = 0
+            continue
+        last_encpos = int.from_bytes(span[pos:pos + 4], "big")
+        olen = int.from_bytes(span[pos + 8:pos + 12], "big")
+        pos += 12 + olen
+    return out
 
 
 def stream_encode(src: ByteSource, dst: ByteSink, level: int = 0,
@@ -98,10 +117,15 @@ def stream_encode(src: ByteSource, dst: ByteSink, level: int = 0,
             break
         part, carry = enc.encode_with_carry(group, level, carry)
         dst.write(part)
+        if hooks and hooks.on_block:
+            # per-16MB-block granularity, as the reference ActionHandler
+            bi, bo = n_in, n_out
+            for dec_bytes, strm_bytes in _per_block_sizes(part):
+                bi += dec_bytes
+                bo += strm_bytes
+                hooks.on_block(bi, bo)
         n_in += len(group)
         n_out += len(part)
-        if hooks and hooks.on_block:
-            hooks.on_block(n_in, n_out)
     if hooks and hooks.on_done:
         hooks.on_done(n_in, n_out, time.time() - t0)
     return n_in, n_out
@@ -156,9 +180,14 @@ def stream_decode(src: ByteSource, dst: ByteSink, backend: str = "auto",
         if spans:
             part, carry = dec.decode_with_carry(spans, carry)
             dst.write(part)
-            n_out += len(part)
             if hooks and hooks.on_block:
-                hooks.on_block(n_in, n_out)
+                bi = n_in - len(pending) - len(spans)
+                bo = n_out
+                for dec_bytes, strm_bytes in _per_block_sizes(spans):
+                    bi += strm_bytes
+                    bo += dec_bytes
+                    hooks.on_block(bi, bo)
+            n_out += len(part)
     if pending:
         raise ValueError("zling: truncated stream (missing stop flag)")
     if hooks and hooks.on_done:

@@ -133,71 +133,3 @@ def test_histogram_matches_spec_freqs():
         i += 1
     assert np.asarray(freq1).tolist() == f1
     assert np.asarray(freq2).tolist() == f2
-
-
-def test_parallel_decode_roundtrip():
-    """pack -> segment-parallel decode -> same tokens (multi-chunk)."""
-    import jax.numpy as jnp
-
-    rng = random.Random(5)
-    chunk_tokens = [
-        _example_token_stream(rng, n) for n in (2000, 7000, 1, 4000)
-    ]
-    payloads = [spec.huffman_encode_chunk(t) for t in chunk_tokens]
-
-    # build flat words + per-chunk tables the way codec.py will
-    C = len(payloads)
-    len1 = np.zeros((C, HUFFMAN_CODES_1), np.uint32)
-    len2 = np.zeros((C, HUFFMAN_CODES_2), np.uint32)
-    seg_start, seg_cid, seg_chunk_start = [], [], []
-    flat = []
-    word_base = 0
-    header = (HUFFMAN_CODES_1 + HUFFMAN_CODES_2) // 2
-    for c, payload in enumerate(payloads):
-        nib = np.frombuffer(payload[:header], np.uint8)
-        l1 = np.empty(HUFFMAN_CODES_1, np.uint32)
-        l1[0::2] = nib[: HUFFMAN_CODES_1 // 2] >> 4
-        l1[1::2] = nib[: HUFFMAN_CODES_1 // 2] & 15
-        l2 = np.empty(HUFFMAN_CODES_2, np.uint32)
-        l2[0::2] = nib[HUFFMAN_CODES_1 // 2:] >> 4
-        l2[1::2] = nib[HUFFMAN_CODES_1 // 2:] & 15
-        len1[c], len2[c] = l1, l2
-        body = payload[header:]
-        nseg = max(1, -(-len(body) // hops.SEG_BYTES))
-        padded = body + bytes(nseg * hops.SEG_BYTES - len(body))
-        flat.append(np.frombuffer(padded, np.uint8))
-        for s in range(nseg):
-            seg_start.append((word_base * 4 + s * hops.SEG_BYTES) * 8)
-            seg_cid.append(c)
-            seg_chunk_start.append(s == 0)
-        word_base += len(padded) // 4
-    flat.append(np.zeros(8, np.uint8))
-    words = np.concatenate(flat).view(np.uint32)
-
-    lut1 = np.asarray(hops.decode_lut(len1, HUFFMAN_MAX_LEN_1)).reshape(-1)
-    lut2 = np.asarray(hops.decode_lut(len2, HUFFMAN_MAX_LEN_2)).reshape(-1)
-
-    seg_start = np.asarray(seg_start, np.int64)
-    seg_cid = np.asarray(seg_cid, np.int32)
-    seg_chunk_start = np.asarray(seg_chunk_start, bool)
-
-    exit_off, count, bad = hops.decode_phase1(
-        seg_start, seg_cid, words, lut1, lut2, len1, len2)
-    entry, tok_start = hops.decode_compose(
-        jnp.asarray(exit_off), jnp.asarray(count), jnp.asarray(seg_chunk_start))
-
-    # true-lane validity: no bad flags on the actually-taken entries
-    entry_np = np.asarray(entry)
-    assert not any(bad[s, entry_np[s]] for s in range(len(seg_cid)))
-
-    rlens = [len(t) for t in chunk_tokens]
-    slack = hops.SEG_BITS * 2 + 64
-    base = np.cumsum([0] + [r + slack for r in rlens[:-1]]).astype(np.int32)
-    max_tokens = int(base[-1] + rlens[-1] + slack)
-    tokens = hops.decode_phase2(
-        entry, tok_start, seg_start, seg_cid, base,
-        words, lut1, lut2, len1, len2, max_tokens)
-    tokens = np.asarray(tokens)
-    for c, expect in enumerate(chunk_tokens):
-        got = tokens[base[c]: base[c] + rlens[c]].tolist()
-        assert got == expect, f"chunk {c}"

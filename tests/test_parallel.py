@@ -35,6 +35,37 @@ def test_mesh_encode_mtf_carry(reference_binary):
     assert ref_decode(reference_binary, stream) == data
 
 
+def test_mesh_encode_equals_spec_bytes():
+    # the DP encoder must reproduce the CANONICAL stream byte-for-byte at
+    # equal geometry: multi-chunk blocks, adaptive level drop, MTF carry,
+    # cross-block level carry (VERDICT round-1 item 4)
+    rng = np.random.default_rng(9)
+    data = (
+        (b"the quick brown fox jumps over the lazy dog. " * 120)  # text
+        + bytes(rng.integers(0, 256, 6000, dtype=np.uint8))       # level drop
+        + (b"abcdefgh" * 600)                                     # recovery
+    )
+    mesh = pmesh.make_mesh()
+    stream = pmesh.mesh_encode(data, level=2, mesh=mesh,
+                               block_size=3000, max_tokens=700)
+    ref = spec.encode(data, level=2, block_size=3000, max_tokens=700)
+    assert stream == ref
+    assert spec.decode(stream) == data
+
+
+def test_mesh_encode_equals_spec_level0_carry():
+    # carried level-0 across a group boundary (mispredict path)
+    rng = np.random.default_rng(17)
+    data = bytes(rng.integers(0, 256, 40000, dtype=np.uint8)) \
+        + (b"zling " * 2000)
+    mesh = pmesh.make_mesh()
+    # same geometry as the test above so the jitted steps are cache hits
+    stream = pmesh.mesh_encode(data, level=1, mesh=mesh,
+                               block_size=3000, max_tokens=700)
+    ref = spec.encode(data, level=1, block_size=3000, max_tokens=700)
+    assert stream == ref
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 

@@ -20,6 +20,11 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / "build" / "jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from libzling_tpu import pipeline  # noqa: E402
 from libzling_tpu.native import engine as native  # noqa: E402
 from libzling_tpu.ops import entropy_kernel as ek  # noqa: E402
