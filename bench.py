@@ -74,7 +74,7 @@ def main() -> None:
     from libzling_tpu.native import engine
 
     results: dict = {"levels": {}, "reference": {}}
-    for level in (0, 4, 5):
+    for level in (0, 1, 2, 3, 4, 5):
         ref = None
         if level <= 4:
             log(f"reference e{level}...")
@@ -120,6 +120,42 @@ def main() -> None:
     except Exception:
         pass
     results["device"] = device
+
+    # on-device codec metrics (Pallas kernels on the real chip), in
+    # disposable subprocesses so a wedged tunnel cannot hang the bench;
+    # compiles are served from build/jaxcache after the first round
+    results["tpu"] = {}
+    if device:
+        try:
+            log("device decode (Pallas entropy + resolve kernels)...")
+            r = subprocess.run(
+                [sys.executable, str(REPO / "tools" / "bench_device_decode.py"),
+                 "--mb", "32"], capture_output=True, text=True, timeout=900)
+            for line in r.stdout.splitlines():
+                if line.startswith("warm e2e:"):
+                    results["tpu"]["decode_mbps_e0_32MB"] = float(
+                        line.split("->")[1].split("MB/s")[0])
+                    log("  " + line.strip())
+        except Exception:
+            pass
+        try:
+            log("device entropy kernel...")
+            r = subprocess.run(
+                [sys.executable, str(REPO / "tools" / "bench_device.py"),
+                 "--mb", "32"], capture_output=True, text=True, timeout=900)
+            for line in r.stdout.splitlines():
+                if line.startswith("warm:"):
+                    results["tpu"]["entropy_mtoks"] = float(
+                        line.split("->")[1].split("M tok/s")[0])
+                    log("  " + line.strip())
+        except Exception:
+            pass
+
+    # match-loop observability (reference debug-counter analog)
+    try:
+        results["counters"] = pipeline.counters()
+    except Exception:
+        pass
 
     e0 = results["levels"]["e0"]
     base = results["reference"].get("e0", {}).get("enc_mbps")
