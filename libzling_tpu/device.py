@@ -60,34 +60,36 @@ def decode(data: bytes, interpret: bool | None = None, *,
     tok_stride = max_tokens + 2 * flush_tokens
     tokens_flat = tokens.reshape(1, C * tok_stride)
 
-    # per-chunk metadata: block starts + the owning block's output base
-    # (128-word aligned so every 512-byte group DMA lands aligned)
+    # per-chunk metadata: block starts + the owning block's output base in
+    # the UNPACKED (byte-per-word) output, 128-aligned with flush-burst
+    # slack between blocks (the ranged DMA overshoots to a burst boundary)
     encpos = np.asarray([ch.encpos for ch in chunks], np.int32)
     new_block = np.zeros(C, np.int32)
     hbm_base = np.zeros(C, np.int32)
-    block_base_words: list[int] = []
+    burst = rk.FLUSH_ROWS * 128
+    block_base_rows: list[int] = []
     acc = 0
     for size in block_sizes:
-        block_base_words.append(acc)
-        acc += (size + 511) // 512 * 128
-    out_words = acc + 128
+        block_base_rows.append(acc)
+        acc += ((size + burst - 1) // burst + 1) * rk.FLUSH_ROWS
+    out_words = (acc + rk.FLUSH_ROWS) * 128
     prev_bid = -1
     for c, ch in enumerate(chunks):
         if ch.block_id != prev_bid:
             new_block[c] = 1
             prev_bid = ch.block_id
-        hbm_base[c] = block_base_words[ch.block_id]
+        hbm_base[c] = block_base_rows[ch.block_id]
 
-    out, rstatus = rk.resolve_stream(
+    packed, rstatus = rk.resolve_stream(
         tokens_flat, rlens.astype(np.int32), encpos, new_block, hbm_base,
         tok_stride, out_words, interpret=interpret, slab_tokens=slab_tokens)
     rst = np.asarray(rstatus)[:, 0, :]
     if rst[:, 2].any():
         raise ValueError("zling: corrupt stream (resolve)")
 
-    raw = np.ascontiguousarray(np.asarray(out)[0]).view(np.uint8)
+    raw = np.ascontiguousarray(np.asarray(packed)).view(np.uint8)
     parts = []
     for bid, size in enumerate(block_sizes):
-        base = block_base_words[bid] * 4
+        base = block_base_rows[bid] * 128
         parts.append(raw[base: base + size].tobytes())
     return b"".join(parts)

@@ -5,21 +5,24 @@ byte-granular state machine whose contexts are *decoded content*: the ring
 bucket and MTF table a token touches are keyed by the previous output byte,
 so the stage is inherently serial for reference-format streams (DESIGN.md
 section 4).  This kernel runs that serial chain on the TPU scalar core with
-all hot state on-chip, which is the only fast on-device formulation (XLA
-in-loop gathers are ~1000x off; DESIGN.md section 1):
+all hot state on-chip, shaped by the measured costs in DESIGN.md section 0:
 
+  * vector->scalar transfers cost ~140 cycles each, so the kernel performs
+    at most TWO per match (ring-source lookup, one combined tail-byte
+    extract) and ZERO per literal/word;
+  * match copies never round-trip through scalar registers: they are
+    funnel-shift vector moves (two row loads + dynamic lane rolls + masked
+    blend, ~100 cycles per 128 bytes), with overlapping copies handled by
+    doubling passes that preserve the reference's forward-byte semantics
+    (src/libzling_lz.cpp:91-104);
   * the 16 MB output block lives in VMEM as one byte per int32 lane
-    ([131072+, 128] ~ 64 MB; the v5e's 128 MB VMEM holds it -- probed via
-    tools/probe_limits.py).  Scalar-side byte access uses one-hot lane
-    blends/reductions, the Mosaic-legal pattern for dynamic lane indices;
-  * the 256x4096 ring of match source positions is VMEM [8192+, 128] i32,
-    inserted/looked-up with the same one-hot row RMW;
-  * the 256x256 sticky-MTF table, the per-chunk word-MRU, and the ring heads
-    live in SMEM where data-dependent scalar indexing is native;
-  * sequential output bytes accumulate in a register row (cur_row) and only
-    touch VMEM when a 128-byte row fills or a match copy needs coherency;
-  * tokens stream in from HBM in SMEM slabs; finished 512-byte groups are
-    packed 4 bytes/word in-register and DMA'd to HBM.
+    ([131072+, 128] = 64 MB; fits v5e VMEM with the limit raised);
+  * sequential output bytes accumulate in a register row and only touch
+    VMEM when a 128-byte row fills or a match needs coherency;
+  * the 256x4096 ring is VMEM with one-hot RMW inserts (writes are cheap);
+    the sticky-MTF table, word-MRU, and ring heads live in SMEM;
+  * finished rows DMA to HBM unpacked (one ranged flush per chunk); byte
+    packing happens in XLA after the kernel.
 
 Grid = one step per chunk, sequential on a core: ring state resets per 16 MB
 block (meta new_block), the MTF table persists across the whole stream, the
@@ -48,6 +51,7 @@ SLAB_TOKENS = 2048            # token slab in SMEM (8 KB)
 OUT_ROWS = 131072 + 16        # 16 MB block + match-copy overshoot slack
 RING_ROWS = 8192 + 32         # 256 ctx * 32 rows + dummy scatter rows
 MTF_WORDS = 257 * 256         # 256 contexts + 1 dummy scatter context
+FLUSH_ROWS = 256              # rows per output DMA burst (32 KB)
 
 
 def _srl(x, n):
@@ -57,28 +61,15 @@ def _srl(x, n):
 def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
                     out_hbm, status_ref,
                     mtf_ref, head_ref, mru_ref, slab_ref, pers_ref,
-                    ring_ref, out_vmem, stage_ref,
+                    ring_ref, out_vmem,
                     sem_tok, sem_mtf, sem_out,
                     *, slab_tokens: int, tok_stride: int):
     c = pl.program_id(0)
     rlen = meta_ref[0, 0, 0]
     encpos = meta_ref[0, 0, 1]
     new_block = meta_ref[0, 0, 2]
-    hbm_base = meta_ref[0, 0, 3]  # block word base in out_hbm, multiple of 128
+    hbm_base = meta_ref[0, 0, 3]  # block ROW base in out_hbm [R,128]
     IOTA = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    ROW4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
-    LANE4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
-
-    # Output bytes use a byte-plane layout: byte p lives at row
-    # (p>>9)*4 + (p&3), lane (p>>2)&127, so each 512-byte group is 4 rows
-    # (one per byte-of-word plane) and packs to LE u32 words with one
-    # row-wise OR combine at flush time.
-
-    def brow(p):
-        return ((_srl(p, 9)) << 2) | (p & 3)
-
-    def blane(p):
-        return _srl(p, 2) & 127
 
     @pl.when(c == 0)
     def _():
@@ -122,13 +113,52 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
 
     load_slab(0)
 
-    def read_byte(p):
-        row = out_vmem[pl.ds(brow(p), 1), :]
-        return jnp.sum(jnp.where(IOTA == blane(p), row, 0))
+    def aligned_row(p):
+        """[1,128] row whose lane 0 holds byte p (funnel shift of two rows)."""
+        r0 = jnp.clip(_srl(p, 7), 0, OUT_ROWS - 2)
+        sh = p & 127
+        a = pltpu.roll(out_vmem[pl.ds(r0, 1), :], shift=-sh, axis=1)
+        b = pltpu.roll(out_vmem[pl.ds(r0 + 1, 1), :], shift=-sh, axis=1)
+        return jnp.where(IOTA < 128 - sh, a, b)
 
-    cur_row = out_vmem[pl.ds(_srl(opos0, 9) << 2, 4), :]
+    def read_byte(p):
+        return jnp.sum(jnp.where(IOTA == 0, aligned_row(p), 0))
+
+    cur_row = out_vmem[pl.ds(_srl(opos0, 7), 1), :]
     l1_0 = jnp.where(opos0 >= 1, read_byte(jnp.maximum(opos0 - 1, 0)), 0)
     l2_0 = jnp.where(opos0 >= 2, read_byte(jnp.maximum(opos0 - 2, 0)), 0)
+
+    def vec_copy(a, b, n):
+        """out[b : b+n) = out[a : a+n); caller guarantees a + n <= b + 1 is
+        NOT required -- only that all reads [a, a+n) are < b (non-overlap).
+        n in [1, 260); touches up to 4 destination rows."""
+
+        def body(k, _):
+            rd = _srl(b, 7) + k
+            lo = jnp.maximum(b - rd * 128, 0)
+            hi = jnp.minimum(b + n - rd * 128, 128)
+
+            @pl.when(hi > lo)
+            def _():
+                base = a - b + rd * 128
+                sh = base & 127
+                # base can be negative (src lane behind dst lane 0):
+                # arithmetic shift floors correctly; clip each row index
+                # separately so r0 = -1 still maps the vb lanes to row 0
+                # (only out-of-mask lanes ever fall on a clipped row)
+                r0 = base >> 7
+                r0c = jnp.clip(r0, 0, OUT_ROWS - 1)
+                r1c = jnp.clip(r0 + 1, 0, OUT_ROWS - 1)
+                va = pltpu.roll(out_vmem[pl.ds(r0c, 1), :], shift=-sh, axis=1)
+                vb = pltpu.roll(out_vmem[pl.ds(r1c, 1), :], shift=-sh, axis=1)
+                merged = jnp.where(IOTA < 128 - sh, va, vb)
+                drow = out_vmem[pl.ds(rd, 1), :]
+                out_vmem[pl.ds(rd, 1), :] = jnp.where(
+                    (IOTA >= lo) & (IOTA < hi), merged, drow)
+
+            return 0
+
+        jax.lax.fori_loop(0, _srl((b & 127) + n + 127, 7), body, 0)
 
     def body(carry):
         tpos, toff, opos, l1, l2, cur_row, bad = carry
@@ -165,16 +195,22 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
         b1 = w & 255
 
         # ---- ring insert at opos THEN source lookup (libzling_lz.cpp:388-399)
+        # The lookup's vector->scalar extract (~140 cyc) is branch-gated so
+        # literals/words never pay it; the value passes through SMEM.
         rctx = jnp.where(is_head, 256, ctx)
         h = (head_ref[0, rctx] + 1) & 4095
         head_ref[0, rctx] = h
         rrow = jnp.where(is_head, RING_ROWS - 1, ctx * 32 + _srl(h, 7))
         row = ring_ref[pl.ds(rrow, 1), :]
         ring_ref[pl.ds(rrow, 1), :] = jnp.where(IOTA == (h & 127), opos, row)
-        ls = (h - midx) & 4095
-        lrow_i = jnp.where(is_match, ctx * 32 + _srl(ls, 7), 0)
-        lrow = ring_ref[pl.ds(lrow_i, 1), :]
-        src = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
+
+        @pl.when(is_match)
+        def _():
+            ls = (h - midx) & 4095
+            lrow = ring_ref[pl.ds(ctx * 32 + _srl(ls, 7), 1), :]
+            pers_ref[2] = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
+
+        src = jnp.where(is_match, pers_ref[2], 1)
 
         bad = bad | (is_match & ((midx == 0) | (src == 0) | (src >= opos)
                                  | (tpos + 1 >= rlen)))
@@ -184,44 +220,62 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
         n_simple = jnp.where(is_match, 0, jnp.where(is_word, 2, 1))
 
         def put(cur_row, p, val, active):
-            cur_row = jnp.where(
-                active & (ROW4 == (p & 3)) & (LANE4 == blane(p)), val, cur_row)
-            full = active & ((p & 511) == 511)
+            cur_row = jnp.where(active & (IOTA == (p & 127)), val, cur_row)
+            full = active & ((p & 127) == 127)
 
             @pl.when(full)
             def _():
-                out_vmem[pl.ds(_srl(p, 9) << 2, 4), :] = cur_row
+                out_vmem[pl.ds(_srl(p, 7), 1), :] = cur_row
 
             return jnp.where(full, 0, cur_row)
 
         cur_row = put(cur_row, opos, eb0, n_simple >= 1)
         cur_row = put(cur_row, opos + 1, b1, n_simple >= 2)
 
-        # ---- match copy: flush cur_row for coherency, then strict forward
-        # byte order (equals the reference's overlapping-copy semantics,
-        # libzling_lz.cpp:91-104), reloading cur_row at the new position
-        mlen = jnp.where(is_match, t - 258 + MATCH_MIN_LEN, 0)
+        # ---- match copy: flush cur_row for coherency, then vector funnel
+        # moves.  Overlapping copies (delta < mlen) double the written
+        # prefix, which equals the reference's forward byte-by-byte order.
+        mlen = jnp.where(is_match & ~bad, t - 258 + MATCH_MIN_LEN, 0)
 
         @pl.when(is_match)
         def _():
-            out_vmem[pl.ds(_srl(opos, 9) << 2, 4), :] = cur_row
+            out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
 
-        def cbody(i, cc):
-            b3c, b2c, b1c = cc
-            sp = src + i
-            dp = opos + i
-            v = read_byte(sp)
-            drow = out_vmem[pl.ds(brow(dp), 1), :]
-            out_vmem[pl.ds(brow(dp), 1), :] = jnp.where(
-                IOTA == blane(dp), v, drow)
-            return b2c, b1c, v
+        delta = jnp.maximum(opos - src, 1)
 
-        cb3, cb2, cb1 = jax.lax.fori_loop(
-            0, mlen, cbody, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        @pl.when(mlen > 0)
+        def _():
+            n0 = jnp.minimum(mlen, delta)
+            vec_copy(src, opos, n0)
+
+            def dbl(carryc):
+                done = carryc
+                n = jnp.minimum(mlen - done, done)
+                vec_copy(opos, opos + done, n)
+                return done + n
+
+            jax.lax.while_loop(lambda d: d < mlen, dbl, n0)
 
         new_opos = opos + jnp.where(is_match, mlen, n_simple)
+
+        # one combined branch-gated extract per match: bytes new_opos-3..-1
+        # as cb3*2^16 + cb2*2^8 + cb1 (feeds the MRU push and the l1/l2
+        # context carries)
+        @pl.when(mlen > 0)
+        def _():
+            tail = aligned_row(new_opos - 3)
+            pers_ref[3] = jnp.sum(jnp.where(
+                IOTA == 0, tail << 16,
+                jnp.where(IOTA == 1, tail << 8,
+                          jnp.where(IOTA == 2, tail, 0))))
+
+        packed_tail = jnp.where(is_match, pers_ref[3], 0)
+        cb1 = packed_tail & 255
+        cb2 = _srl(packed_tail, 8) & 255
+        cb3 = _srl(packed_tail, 16) & 255
+
         reload = out_vmem[
-            pl.ds(jnp.where(is_match, _srl(new_opos, 9) << 2, 0), 4), :]
+            pl.ds(jnp.where(is_match, _srl(new_opos, 7), 0), 1), :]
         cur_row = jnp.where(is_match, reload, cur_row)
 
         # ---- unified word-MRU push (libzling_lz.cpp:163-166,181-182,190-191)
@@ -249,29 +303,29 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
         (jnp.int32(0), jnp.int32(0), opos0, l1_0, l2_0, cur_row,
          jnp.bool_(False)))
 
-    # flush the partial group, then pack this chunk's 512-byte groups
-    # (4 bytes/word LE) and DMA them to the block's HBM range; the group
-    # straddling the previous chunk boundary is re-sent with newer content
-    out_vmem[pl.ds(_srl(opos, 9) << 2, 4), :] = cur_row
+    # flush the partial row, then DMA this chunk's rows to HBM (unpacked,
+    # one byte per word; XLA packs after the kernel).  Bursts overshoot to a
+    # FLUSH_ROWS boundary; the block's HBM region has matching slack and the
+    # boundary rows are re-sent by the next chunk with newer content.
+    out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
 
     @pl.when(opos > opos0)
     def _():
+        r0 = (_srl(opos0, 7) >> 3) << 3  # sublane-tile aligned start
+        rN = _srl(opos - 1, 7)
+
         def fbody(k, _):
-            r = k * 4
-            v0 = out_vmem[pl.ds(r, 1), :]
-            v1 = out_vmem[pl.ds(r + 1, 1), :]
-            v2 = out_vmem[pl.ds(r + 2, 1), :]
-            v3 = out_vmem[pl.ds(r + 3, 1), :]
-            stage_ref[0:1, :] = v0 | (v1 << 8) | (v2 << 16) | (v3 << 24)
-            dst = pl.multiple_of(hbm_base + k * 128, 128)
-            cp = pltpu.make_async_copy(stage_ref.at[0, :],
-                                       out_hbm.at[0, pl.ds(dst, 128)],
-                                       sem_out)
+            r = pl.multiple_of(r0 + k * FLUSH_ROWS, 8)
+            dst = pl.multiple_of(hbm_base + r, 8)
+            cp = pltpu.make_async_copy(
+                out_vmem.at[pl.ds(r, FLUSH_ROWS), :],
+                out_hbm.at[pl.ds(dst, FLUSH_ROWS), :],
+                sem_out)
             cp.start()
             cp.wait()
             return 0
 
-        jax.lax.fori_loop(_srl(opos0, 9), _srl(opos - 1, 9) + 1, fbody, 0)
+        jax.lax.fori_loop(0, (rN - r0) // FLUSH_ROWS + 1, fbody, 0)
 
     pers_ref[0] = opos
     status_ref[0, 0, 0] = opos
@@ -303,7 +357,7 @@ def _resolve_call(mtfnext, meta, mtf0, tokens_flat, interpret: bool = False,
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, out_words), jnp.int32),
+            jax.ShapeDtypeStruct((out_words // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((C, 8, 128), jnp.int32),
         ),
         scratch_shapes=[
@@ -314,7 +368,6 @@ def _resolve_call(mtfnext, meta, mtf0, tokens_flat, interpret: bool = False,
             pltpu.SMEM((8,), jnp.int32),
             pltpu.VMEM((RING_ROWS, 128), jnp.int32),
             pltpu.VMEM((OUT_ROWS, 128), jnp.int32),
-            pltpu.VMEM((1, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -323,7 +376,11 @@ def _resolve_call(mtfnext, meta, mtf0, tokens_flat, interpret: bool = False,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
-    return kernel(mtfnext, meta, mtf0, tokens_flat)
+    unpacked, status = kernel(mtfnext, meta, mtf0, tokens_flat)
+    # pack 4 bytes/word LE (vectorized XLA, off the scalar core)
+    v = unpacked.reshape(-1, 4)
+    packed = v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16) | (v[:, 3] << 24)
+    return packed, status
 
 
 def resolve_stream(tokens_flat, rlens, encpos, new_block, hbm_word_base,
@@ -333,10 +390,12 @@ def resolve_stream(tokens_flat, rlens, encpos, new_block, hbm_word_base,
 
     tokens_flat: [1, C * tok_stride] i32 device array (entropy-kernel output
     layout); rlens/encpos/new_block/hbm_word_base: per-chunk i32 metadata
-    (hbm_word_base = the owning block's word offset in the output, a
-    multiple of 128).  Returns (out_words [1, out_words] i32 device array of
-    packed LE bytes, status [C, 8]: [:,0]=opos, [:,1]=tokens consumed,
-    [:,2]=bad).
+    (hbm_word_base = the owning block's ROW base in the unpacked [R, 128]
+    output, a multiple of FLUSH_ROWS with FLUSH_ROWS slack between blocks).
+    out_words is the unpacked word count (one output byte per word,
+    a FLUSH_ROWS*128 multiple).
+    Returns (packed [out_words//4] i32 device array of LE-packed bytes,
+    status [C, 8, 128]: [:,0,0]=opos, [:,0,1]=tokens consumed, [:,0,2]=bad).
     """
     from .mtf import _J_MTF_NEXT, initial_state
 
