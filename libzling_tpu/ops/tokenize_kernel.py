@@ -1,0 +1,479 @@
+"""Pallas TPU kernel: ROLZ tokenizer (block bytes -> raw-literal units).
+
+The encoder hot loop (reference MatchAndUpdate/EncodeImpl,
+src/libzling_lz.cpp:139-316) as a scalar-core kernel: one call tokenizes one
+input block as its full chunk sequence under a per-chunk level schedule,
+emitting units in the ops/rolz.py convention (literal units carry RAW bytes;
+MTF relabel is a separate pass -- SURVEY.md section 7.0 phase b), so the
+output plugs into the same relabel/histogram/pack stages as the jitted
+tokenizer and the mesh path.
+
+Hardware mapping (costs measured in DESIGN.md section 0):
+
+  * sequential byte context (hash input, probe bytes at ipos, word-MRU
+    windows) streams through an SMEM slab with a 300-byte lookahead --
+    effectively free;
+  * the 256-bucket state (hash heads, chains, slot pos|check) lives in
+    VMEM as one entry per int32 lane, updated with one-hot RMW blends
+    (cheap) and read with one-hot reductions; every read is branch-gated,
+    but the chain walk is inherently a serial chain of ~140-cycle
+    vector->scalar transfers -- the dominant per-position cost and the
+    measured reason a v5e chip cannot race a host core on this loop
+    (DESIGN.md section 3.4);
+  * GetCommonLength runs on the VPU: both 264-byte windows are
+    funnel-aligned from the VMEM block copy and compared in one shot with
+    a single first-mismatch extract;
+  * lazy probes use dynamic-depth while loops, so extended levels e5/e6
+    (depth 48 / lazy 8) are exact -- unlike the jitted tokenizer's static
+    fori bounds.
+
+This is the correctness-complete on-device encode lane; block-level data
+parallelism over the mesh is the scaling axis.
+
+Bit-exactness oracle: ops/rolz.py tokenize_chunk (golden-tested against the
+reference binary), matched unit-for-unit in tests/test_tokenize_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tables import (
+    LEVEL_PARAMS,
+    MATCH_MAX_LEN,
+    MATCH_MIN_LEN,
+    MATCH_MIN_LEN_ENABLE_LAZY,
+)
+
+HASH_ROWS = 256 * 64          # hash heads: 256 ctx x 8192 slots
+RING_ROWS = 256 * 32          # chain / slot: 256 ctx x 4096 nodes
+SLAB_WORDS = 2048             # sequential byte window in SMEM
+LOOKAHEAD = 300               # bytes needed beyond ipos (match + lazy probes)
+STAGE_UNITS = 512             # output units per DMA burst
+_NIL = 65535
+
+_LEVEL_TABLE = np.asarray([LEVEL_PARAMS[l] for l in sorted(LEVEL_PARAMS)],
+                          np.int32)
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, n)
+
+
+def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
+                     outa_hbm, outb_hbm, stat_ref,
+                     slab_ref, stg_a, stg_b, head_ref, mru_ref, pers_ref,
+                     block_vmem, hash_ref, chain_ref, slot_ref,
+                     sem_in, sem_blk, sem_oa, sem_ob,
+                     *, chunk_stride: int, max_chunks: int, block_rows: int):
+    ilen = meta_ref[0, 0, 0]
+    max_tokens = meta_ref[0, 0, 1]
+    chunk_units = meta_ref[0, 0, 2]
+    IOTA = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    L_ROWS = 3  # 264-byte LCP window lives in 3 rows
+    IOTA3 = jax.lax.broadcasted_iota(jnp.int32, (L_ROWS, 128), 1)
+    ROW3 = jax.lax.broadcasted_iota(jnp.int32, (L_ROWS, 128), 0)
+    POS3 = ROW3 * 128 + IOTA3
+
+    # whole block into VMEM (the candidate-side random-access copy)
+    cp = pltpu.make_async_copy(block2d_hbm, block_vmem, sem_blk)
+    cp.start()
+    cp.wait()
+
+    # bucket state: reset per block (libzling_lz.cpp:197-209)
+    def fill(ref, rows, val):
+        v32 = jnp.full((32, 128), val, jnp.int32)
+
+        def zz(i, _):
+            ref[pl.ds(i * 32, 32), :] = v32
+            return 0
+
+        jax.lax.fori_loop(0, rows // 32, zz, 0)
+
+    fill(hash_ref, HASH_ROWS, _NIL)
+    fill(chain_ref, RING_ROWS, _NIL)
+    fill(slot_ref, RING_ROWS, 0)
+
+    def zhead(i, _):
+        head_ref[0, i] = 0
+        return 0
+
+    jax.lax.fori_loop(0, 258, zhead, 0)
+
+    def load_slab(soff):
+        src = pl.multiple_of(soff, 128)
+        cp = pltpu.make_async_copy(blockf_hbm.at[0, pl.ds(src, SLAB_WORDS)],
+                                   slab_ref.at[0, :], sem_in)
+        cp.start()
+        cp.wait()
+
+    def sbyte(p, soff):
+        return slab_ref[0, jnp.maximum(p, 0) - soff]
+
+    def funnel3(p):
+        """[3,128] window whose element (0,0) is block byte p (p >= 0)."""
+        r0 = jnp.clip(_srl(p, 7), 0, block_rows - 4)
+        sh = p & 127
+        w = pltpu.roll(block_vmem[pl.ds(r0, 4), :], shift=-sh, axis=1)
+        return jnp.where(IOTA3 < 128 - sh, w[0:L_ROWS, :], w[1:L_ROWS + 1, :])
+
+    def onehot(ref, row, lane):
+        r = ref[pl.ds(row, 1), :]
+        return jnp.sum(jnp.where(IOTA == lane, r, 0))
+
+    def rmw(ref, row, lane, val):
+        r = ref[pl.ds(row, 1), :]
+        ref[pl.ds(row, 1), :] = jnp.where(IOTA == lane, val, r)
+
+    def u32le_cand(p):
+        """Little-endian u32 at block position p (candidate side, VMEM)."""
+        r0 = jnp.clip(_srl(p, 7), 0, block_rows - 2)
+        sh = p & 127
+        a = pltpu.roll(block_vmem[pl.ds(r0, 1), :], shift=-sh, axis=1)
+        b = pltpu.roll(block_vmem[pl.ds(r0 + 1, 1), :], shift=-sh, axis=1)
+        w = jnp.where(IOTA < 128 - sh, a, b)
+        return jnp.sum(jnp.where(
+            IOTA == 0, w,
+            jnp.where(IOTA == 1, w << 8,
+                      jnp.where(IOTA == 2, w << 16,
+                                jnp.where(IOTA == 3, w << 24, 0)))))
+
+    def u32le_slab(p, soff):
+        return (sbyte(p, soff) | (sbyte(p + 1, soff) << 8)
+                | (sbyte(p + 2, soff) << 16) | (sbyte(p + 3, soff) << 24))
+
+    def hash4(p, soff):
+        h = u32le_slab(p, soff) + sbyte(p + 2, soff) * 137 \
+            + sbyte(p + 3, soff) * 13337
+        return _srl(h, 13) & 255, h & 8191
+
+    match_limit = ilen - MATCH_MAX_LEN - 16
+
+    def lazy_probe(p, maxlen, depth, soff):
+        """MatchLazy (libzling_lz.cpp:291-316), dynamic depth."""
+        lctx = sbyte(p - 1, soff)
+        _, lslot = hash4(p, soff)
+        node0 = onehot(hash_ref, lctx * 64 + _srl(lslot, 7), lslot & 127)
+        probe_at = maxlen - 3
+        want = u32le_slab(p + probe_at, soff)
+
+        def lbody(carry):
+            i, node, prev_off, hit, done = carry
+            s = onehot(slot_ref, lctx * 32 + _srl(node, 7), node & 127)
+            off = s & 0xFFFFFF
+            stale = (i > 0) & (prev_off <= off)
+            h = ~stale & (u32le_cand(off + probe_at) == want)
+            hit = hit | h
+            done = done | stale | h | (i + 1 >= depth)
+            nxt = jnp.where(done, node,
+                            onehot(chain_ref, lctx * 32 + _srl(node, 7),
+                                   node & 127))
+            done = done | (nxt == _NIL)
+            return i + 1, jnp.where(done, node, nxt), off, hit, done
+
+        start_ok = node0 != _NIL
+        _, _, _, hit, _ = jax.lax.while_loop(
+            lambda c: ~c[4], lbody,
+            (jnp.int32(0), jnp.where(start_ok, node0, 0), jnp.int32(0),
+             jnp.bool_(False), ~start_ok))
+        return hit
+
+    def find_match(ipos, soff, depth, lazy1, lazy2):
+        """MatchAndUpdate (libzling_lz.cpp:211-289): insert then walk.
+
+        Writes (found, mlen, midx) to pers_ref[0..2]."""
+        ctx = sbyte(ipos - 1, soff)
+        check, hslot = hash4(ipos, soff)
+        hrow = ctx * 64 + _srl(hslot, 7)
+        node0 = onehot(hash_ref, hrow, hslot & 127)
+
+        head = (head_ref[0, ctx] + 1) & 4095
+        head_ref[0, ctx] = head
+        rmw(chain_ref, ctx * 32 + _srl(head, 7), head & 127, node0)
+        rmw(slot_ref, ctx * 32 + _srl(head, 7), head & 127,
+            ipos | (check << 24))
+        rmw(hash_ref, hrow, hslot & 127, head)
+
+        searchable = (node0 != _NIL) & (node0 != head)
+        cur3 = funnel3(ipos)
+
+        def wbody(carry):
+            i, node, prev_off, best_len, best_node, done = carry
+            s = onehot(slot_ref, ctx * 32 + _srl(node, 7), node & 127)
+            off = s & 0xFFFFFF
+            ncheck = _srl(s, 24) & 255
+            done = done | ((i > 0) & (prev_off <= off))
+
+            probe_gate = ~done & (ncheck == check)
+
+            @pl.when(probe_gate)
+            def _():
+                pb = off + best_len
+                pers_ref[5] = onehot(block_vmem, _srl(pb, 7), pb & 127)
+
+            probe_ok = probe_gate & \
+                (pers_ref[5] == sbyte(ipos + best_len, soff))
+
+            @pl.when(probe_ok)
+            def _():
+                neq = cur3 != funnel3(off)
+                pers_ref[6] = jnp.min(jnp.where(neq, POS3, 999))
+
+            lcp = jnp.where(probe_ok,
+                            jnp.minimum(pers_ref[6], MATCH_MAX_LEN), 0)
+            lcp = jnp.where(lcp >= MATCH_MIN_LEN, lcp, 0)
+            better = (lcp > best_len) & ~done
+            best_node = jnp.where(better, node, best_node)
+            best_len = jnp.where(better, lcp, best_len)
+            done = done | (best_len == MATCH_MAX_LEN) | (i + 1 >= depth)
+
+            nxt = jnp.where(done, node,
+                            onehot(chain_ref, ctx * 32 + _srl(node, 7),
+                                   node & 127))
+            done = done | (nxt == _NIL)
+            return (i + 1, jnp.where(done, node, nxt), off, best_len,
+                    best_node, done)
+
+        _, _, _, best_len, best_node, _ = jax.lax.while_loop(
+            lambda c: ~c[5], wbody,
+            (jnp.int32(0), jnp.where(searchable, node0, 0), jnp.int32(0),
+             jnp.int32(MATCH_MIN_LEN - 1), jnp.int32(0), ~searchable))
+
+        found = searchable & (best_len >= MATCH_MIN_LEN)
+
+        pers_ref[7] = 0
+
+        @pl.when(found & (best_len < MATCH_MIN_LEN_ENABLE_LAZY))
+        def _():
+            h1 = jnp.where(lazy1 > 0,
+                           lazy_probe(ipos + 1, best_len, lazy1, soff), False)
+            h2 = jnp.where((lazy2 > 0) & ~h1,
+                           lazy_probe(ipos + 2, best_len, lazy2, soff), False)
+            pers_ref[7] = (h1 | h2).astype(jnp.int32)
+
+        found = found & (pers_ref[7] == 0)
+        pers_ref[0] = found.astype(jnp.int32)
+        pers_ref[1] = best_len
+        pers_ref[2] = (head - best_node) & 4095
+
+    def flush_units(cidx, base_units):
+        """DMA staged units to HBM at the chunk's stride slot."""
+        dst = pl.multiple_of(cidx * chunk_stride + base_units, 128)
+        cpa = pltpu.make_async_copy(stg_a.at[0, pl.ds(0, STAGE_UNITS)],
+                                    outa_hbm.at[0, pl.ds(dst, STAGE_UNITS)],
+                                    sem_oa)
+        cpa.start()
+        cpb = pltpu.make_async_copy(stg_b.at[0, pl.ds(0, STAGE_UNITS)],
+                                    outb_hbm.at[0, pl.ds(dst, STAGE_UNITS)],
+                                    sem_ob)
+        cpb.start()
+        cpa.wait()
+        cpb.wait()
+
+    def chunk_body(carry):
+        ipos, cidx, err = carry
+        depth = meta_ref[0, 3, cidx]
+        lazy1 = meta_ref[0, 4, cidx]
+        lazy2 = meta_ref[0, 5, cidx]
+
+        def zmru(i, _):
+            mru_ref[0, i] = 0
+            return 0
+
+        jax.lax.fori_loop(0, 516, zmru, 0)
+
+        def unit_body(carry):
+            ipos, soff, nu, nt, staged, err = carry
+
+            # slab: keep [ipos-1, ipos+LOOKAHEAD) resident
+            need = ipos + LOOKAHEAD >= soff + SLAB_WORDS
+            nsoff = jnp.maximum(((ipos - 1) >> 7) << 7, 0)
+
+            @pl.when(need)
+            def _():
+                load_slab(nsoff)
+
+            soff = jnp.where(need, nsoff, soff)
+
+            do_flush = staged >= STAGE_UNITS
+
+            @pl.when(do_flush)
+            def _():
+                flush_units(cidx, nu - staged)
+
+            staged = jnp.where(do_flush, staged - STAGE_UNITS, staged)
+
+            is_head = ipos <= 1
+            attempt = ~is_head & (ipos < match_limit)
+
+            @pl.when(attempt)
+            def _():
+                find_match(ipos, soff, depth, lazy1, lazy2)
+
+            found = attempt & (pers_ref[0] != 0)
+            mlen = pers_ref[1]
+            midx = pers_ref[2]
+
+            # exact reference semantics: the zero-initialized word-MRU DOES
+            # match word 0x0000 (src/libzling_lz.cpp:147,172-185)
+            ctx = sbyte(ipos - 1, soff)
+            ww = sbyte(ipos, soff) * 256 + sbyte(ipos + 1, soff)
+            can_word = ~is_head & ~found & (ipos + 1 < ilen)
+            hit0 = can_word & (mru_ref[0, ctx * 2] == ww)
+            hit1 = can_word & ~hit0 & (mru_ref[0, ctx * 2 + 1] == ww)
+            is_lit = ~is_head & ~found & ~hit0 & ~hit1
+            is_word = hit0 | hit1
+
+            sym = jnp.where(
+                found, 258 + mlen - MATCH_MIN_LEN,
+                jnp.where(hit0, 256,
+                          jnp.where(hit1, 257, sbyte(ipos, soff))))
+            kind = jnp.where(is_head, 0,
+                             jnp.where(is_lit, 1, jnp.where(is_word, 2, 3)))
+            stg_a[0, staged] = sym | (kind << 10) \
+                | (jnp.where(found, midx, 0) << 14)
+            stg_b[0, staged] = ipos
+            staged = staged + 1
+            nu = nu + 1
+            nt = nt + jnp.where(found, 2, 1)
+
+            new_ipos = ipos + jnp.where(
+                found, mlen, jnp.where(is_word, 2, 1))
+
+            # word-MRU update (libzling_lz.cpp:163-166,178-191): match pushes
+            # iff differing; word0 none; word1/literal push unconditionally
+            cu = sbyte(new_ipos - 3, soff)
+            wu = sbyte(new_ipos - 2, soff) * 256 + sbyte(new_ipos - 1, soff)
+            old0 = mru_ref[0, cu * 2]
+            push = jnp.where(found, old0 != wu, is_lit | hit1) & ~is_head
+            pb = jnp.where(push, cu * 2, 514)
+            mru_ref[0, pb + 1] = old0
+            mru_ref[0, pb] = wu
+
+            err = err | (new_ipos > ilen + MATCH_MAX_LEN)
+            return new_ipos, soff, nu, nt, staged, err
+
+        def unit_cond(carry):
+            ipos, _soff, nu, nt, _staged, err = carry
+            budget = jnp.where(ipos <= 1, nt < max_tokens, nt + 1 < max_tokens)
+            return (ipos < ilen) & budget & (nu < chunk_units) & ~err
+
+        soff0 = jnp.maximum(((ipos - 1) >> 7) << 7, 0)
+        load_slab(soff0)
+        ipos, _soff, nu, nt, staged, err = jax.lax.while_loop(
+            unit_cond, unit_body,
+            (ipos, soff0, jnp.int32(0), jnp.int32(0), jnp.int32(0), err))
+
+        @pl.when(staged > 0)
+        def _():
+            flush_units(cidx, nu - staged)
+
+        stat_ref[0, 0, cidx] = nu
+        stat_ref[0, 1, cidx] = nt
+        stat_ref[0, 2, cidx] = ipos
+        return ipos, cidx + 1, err
+
+    ipos, n_chunks, err = jax.lax.while_loop(
+        lambda c: (c[0] < ilen) & (c[1] < max_chunks) & ~c[2],
+        chunk_body, (jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
+    stat_ref[0, 6, 0] = n_chunks
+    stat_ref[0, 6, 1] = err.astype(jnp.int32)
+    stat_ref[0, 6, 2] = ipos
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk_stride",
+                                             "max_chunks", "block_rows"))
+def _tokenize_call(meta, block_flat, interpret: bool = False,
+                   chunk_stride: int = 0, max_chunks: int = 0,
+                   block_rows: int = 0):
+    block2d = block_flat.reshape(block_rows, 128)
+    kernel = pl.pallas_call(
+        functools.partial(_tokenize_kernel, chunk_stride=chunk_stride,
+                          max_chunks=max_chunks, block_rows=block_rows),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 256), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, 256), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, max_chunks * chunk_stride), jnp.int32),
+            jax.ShapeDtypeStruct((1, max_chunks * chunk_stride), jnp.int32),
+            jax.ShapeDtypeStruct((1, 8, 256), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, SLAB_WORDS), jnp.int32),
+            pltpu.SMEM((1, STAGE_UNITS + 8), jnp.int32),
+            pltpu.SMEM((1, STAGE_UNITS + 8), jnp.int32),
+            pltpu.SMEM((1, 258), jnp.int32),
+            pltpu.SMEM((1, 516 + 2), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.VMEM((block_rows, 128), jnp.int32),
+            pltpu.VMEM((HASH_ROWS, 128), jnp.int32),
+            pltpu.VMEM((RING_ROWS, 128), jnp.int32),
+            pltpu.VMEM((RING_ROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )
+    return kernel(meta, block_flat, block2d)
+
+
+def tokenize_block(block: bytes | np.ndarray, levels, max_tokens: int,
+                   max_chunks: int, chunk_units: int,
+                   interpret: bool = False):
+    """Tokenize one block on device (raw-literal units, rolz.py convention).
+
+    block: the block's bytes; levels: [>=max_chunks] per-chunk level
+    schedule (values 0..6).  max_chunks <= 256.  Returns (sym, idx, upos,
+    kind [max_chunks, chunk_units] i32, nunits, ntoks, encpos [max_chunks],
+    n_chunks, err).
+    """
+    assert max_chunks <= 256
+    buf = np.frombuffer(bytes(block), np.uint8) if isinstance(block, (bytes, bytearray)) \
+        else np.asarray(block, np.uint8)
+    ilen = len(buf)
+    chunk_stride = ((chunk_units + STAGE_UNITS - 1) // STAGE_UNITS + 1) \
+        * STAGE_UNITS
+    block_rows = max(32, -(-(ilen + SLAB_WORDS + 512) // 4096) * 32)
+    meta = np.zeros((1, 8, 256), np.int32)
+    meta[0, 0, 0] = ilen
+    meta[0, 0, 1] = max_tokens
+    meta[0, 0, 2] = chunk_units
+    lv = _LEVEL_TABLE[np.asarray(levels, np.int32)[:max_chunks]]
+    meta[0, 3, :max_chunks] = lv[:, 0]
+    meta[0, 4, :max_chunks] = lv[:, 1]
+    meta[0, 5, :max_chunks] = lv[:, 2]
+    flat = np.zeros(block_rows * 128, np.int32)
+    flat[:ilen] = buf
+    outa, outb, stat = _tokenize_call(
+        jnp.asarray(meta), jnp.asarray(flat[None]),
+        interpret=interpret, chunk_stride=chunk_stride,
+        max_chunks=max_chunks, block_rows=block_rows)
+    a = np.asarray(outa).reshape(max_chunks, chunk_stride)[:, :chunk_units]
+    b = np.asarray(outb).reshape(max_chunks, chunk_stride)[:, :chunk_units]
+    sym = a & 1023
+    kind = (a >> 10) & 3
+    idx = (a >> 14) & 4095
+    stat = np.asarray(stat)
+    return (sym, idx, b, kind, stat[0, 0, :max_chunks],
+            stat[0, 1, :max_chunks], stat[0, 2, :max_chunks],
+            int(stat[0, 6, 0]), int(stat[0, 6, 1]))
