@@ -48,10 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..tables import MATCH_MIN_LEN
 
 SLAB_TOKENS = 2048            # token slab in SMEM (8 KB)
-OUT_ROWS = 131072 + 16        # 16 MB block + match-copy overshoot slack
+FLUSH_ROWS = 256              # rows per output DMA burst (32 KB)
+# 16 MB block + match-copy overshoot + one full flush burst of slack (the
+# final ranged DMA reads whole bursts past the last written row)
+OUT_ROWS = 131072 + FLUSH_ROWS + 16
 RING_ROWS = 8192 + 32         # 256 ctx * 32 rows + dummy scatter rows
 MTF_WORDS = 257 * 256         # 256 contexts + 1 dummy scatter context
-FLUSH_ROWS = 256              # rows per output DMA burst (32 KB)
 
 
 def _srl(x, n):

@@ -437,6 +437,45 @@ def _tokenize_call(meta, block_flat, interpret: bool = False,
     return kernel(meta, block_flat, block2d)
 
 
+def tokenize_block_traced(block_u8, ilen, levels, *, max_tokens: int,
+                          max_chunks: int, chunk_units: int,
+                          interpret: bool = False):
+    """Traced variant for use under jit/shard_map (mesh integration).
+
+    block_u8: [B] u8 traced array (zero-padded); ilen traced i32; levels
+    [max_chunks] traced i32 level ids.  Returns (sym, idx, upos, kind
+    [max_chunks, chunk_units], nunits, ntoks, encpos [max_chunks],
+    n_chunks, err) as traced arrays.
+    """
+    assert max_chunks <= 256
+    chunk_stride = ((chunk_units + STAGE_UNITS - 1) // STAGE_UNITS + 1) \
+        * STAGE_UNITS
+    B = block_u8.shape[0]
+    block_rows = max(32, -(-(B + SLAB_WORDS + 512) // 4096) * 32)
+    flat = jnp.zeros(block_rows * 128, jnp.int32)
+    flat = flat.at[:B].set(block_u8.astype(jnp.int32))
+    ltab = jnp.asarray(_LEVEL_TABLE)
+    lv = ltab[jnp.clip(levels, 0, len(LEVEL_PARAMS) - 1)]  # [max_chunks, 3]
+    meta = jnp.zeros((1, 8, 256), jnp.int32)
+    meta = meta.at[0, 0, 0].set(ilen)
+    meta = meta.at[0, 0, 1].set(max_tokens)
+    meta = meta.at[0, 0, 2].set(chunk_units)
+    meta = meta.at[0, 3, :max_chunks].set(lv[:, 0])
+    meta = meta.at[0, 4, :max_chunks].set(lv[:, 1])
+    meta = meta.at[0, 5, :max_chunks].set(lv[:, 2])
+    outa, outb, stat = _tokenize_call(
+        meta, flat[None], interpret=interpret, chunk_stride=chunk_stride,
+        max_chunks=max_chunks, block_rows=block_rows)
+    a = outa.reshape(max_chunks, chunk_stride)[:, :chunk_units]
+    upos = outb.reshape(max_chunks, chunk_stride)[:, :chunk_units]
+    sym = a & 1023
+    kind = (a >> 10) & 3
+    idx = (a >> 14) & 4095
+    return (sym, idx, upos, kind, stat[0, 0, :max_chunks],
+            stat[0, 1, :max_chunks], stat[0, 2, :max_chunks],
+            stat[0, 6, 0], stat[0, 6, 1])
+
+
 def tokenize_block(block: bytes | np.ndarray, levels, max_tokens: int,
                    max_chunks: int, chunk_units: int,
                    interpret: bool = False):

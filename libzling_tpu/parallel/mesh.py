@@ -126,9 +126,10 @@ def _tokenize_block_chunks(block, ilen, levels, max_tokens: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mesh", "max_tokens", "max_chunks", "chunk_units"))
+    "mesh", "max_tokens", "max_chunks", "chunk_units", "tokenizer"))
 def parallel_encode_step(blocks, ilens, levels, r2s0, s2r0, *, mesh: Mesh,
-                         max_tokens: int, max_chunks: int, chunk_units: int):
+                         max_tokens: int, max_chunks: int, chunk_units: int,
+                         tokenizer: str = "xla"):
     """Stage 1 of canonical block-DP encode: tokenize + MTF carry + counts.
 
     blocks [D, B] u8 (padded); ilens [D]; levels [D, max_chunks] per-chunk
@@ -139,9 +140,20 @@ def parallel_encode_step(blocks, ilens, levels, r2s0, s2r0, *, mesh: Mesh,
     D = mesh.devices.size
 
     def step(block, ilen, levels, r2s0, s2r0):
-        sym, idx, upos, kind, nunits, ntoks, encpos, n_chunks = \
-            _tokenize_block_chunks(block[0], ilen[0], levels[0], max_tokens,
-                                   max_chunks, chunk_units)
+        if tokenizer == "pallas":
+            # the scalar-core kernel lane (ops/tokenize_kernel.py); bit-
+            # identical units, usable on real TPU cores (interpreted on CPU)
+            from ..ops import tokenize_kernel as tkk
+
+            (sym, idx, upos, kind, nunits, ntoks, encpos, _nc, _err) = \
+                tkk.tokenize_block_traced(
+                    block[0], ilen[0], levels[0], max_tokens=max_tokens,
+                    max_chunks=max_chunks, chunk_units=chunk_units,
+                    interpret=jax.default_backend() != "tpu")
+        else:
+            sym, idx, upos, kind, nunits, ntoks, encpos, _n_chunks = \
+                _tokenize_block_chunks(block[0], ilen[0], levels[0],
+                                       max_tokens, max_chunks, chunk_units)
         U = max_chunks * chunk_units
         sym_f = sym.reshape(U)
         upos_f = upos.reshape(U)
@@ -178,6 +190,7 @@ def parallel_encode_step(blocks, ilens, levels, r2s0, s2r0, *, mesh: Mesh,
 
         sym2 = jnp.where(is_lit, ranks, sym_f).reshape(max_chunks, chunk_units)
         freq1, freq2 = jax.vmap(hops.unit_histograms)(sym2, idx, valid)
+        n_chunks = jnp.sum((nunits > 0).astype(jnp.int32))
         return (sym2[None], idx[None], valid[None], nunits[None], ntoks[None],
                 encpos[None], n_chunks[None], freq1[None], freq2[None],
                 r2s, s2r)
@@ -218,7 +231,8 @@ def _payload_bytes(bits: int) -> int:
 
 def mesh_encode(data: bytes, level: int, mesh: Mesh | None = None,
                 block_size: int = BLOCK_SIZE_IN,
-                max_tokens: int = BLOCK_SIZE_ROLZ) -> bytes:
+                max_tokens: int = BLOCK_SIZE_ROLZ,
+                tokenizer: str = "xla") -> bytes:
     """Encode with blocks sharded over the mesh; byte-identical to
     ``spec.encode(data, level, block_size=block_size, max_tokens=max_tokens)``
     (canonical reference stream at default geometry).
@@ -263,7 +277,7 @@ def mesh_encode(data: bytes, level: int, mesh: Mesh | None = None,
              r2s_new, s2r_new) = parallel_encode_step(
                 blocks, ilens, lv, r2s_snap, s2r_snap, mesh=mesh,
                 max_tokens=max_tokens, max_chunks=max_chunks,
-                chunk_units=chunk_units)
+                chunk_units=chunk_units, tokenizer=tokenizer)
             nchunks_np = host_gather(n_chunks)
             f1 = host_gather(freq1).reshape(D * max_chunks, HUFFMAN_CODES_1)
             f2 = host_gather(freq2).reshape(D * max_chunks, HUFFMAN_CODES_2)

@@ -89,3 +89,20 @@ def test_tokenize_kernel_extended_level():
         else:
             k_tok.append(s)
     assert k_tok == tokens
+
+
+def test_mesh_encode_with_pallas_tokenizer():
+    # the kernel lane slots into the canonical mesh path: byte-identical
+    # stream (tiny data: the kernel interprets per-unit on CPU)
+    import jax
+    from libzling_tpu import spec
+    from libzling_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(11)
+    data = (b"mesh pallas tokenizer lane " * 60
+            + bytes(rng.integers(0, 256, 800, dtype=np.uint8)))
+    mesh = pmesh.make_mesh(jax.devices()[:2])
+    stream = pmesh.mesh_encode(data, level=1, mesh=mesh, block_size=1024,
+                               max_tokens=400, tokenizer="pallas")
+    ref = spec.encode(data, level=1, block_size=1024, max_tokens=400)
+    assert stream == ref

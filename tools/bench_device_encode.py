@@ -1,0 +1,49 @@
+"""Verify + benchmark the Pallas ROLZ tokenizer on real hardware.
+
+Tokenizes a corpus slice on the v5e (e0 schedule), times the warm call, and
+checks unit-for-unit bit-exactness against the jitted oracle.
+
+Usage:  python tools/bench_device_encode.py
+"""
+
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import numpy as np
+from libzling_tpu.ops import tokenize_kernel as tk
+from libzling_tpu.ops import rolz as rops
+import jax.numpy as jnp
+from tools.make_corpus import cached_corpus
+
+data = cached_corpus(100_000_000).read_bytes()[: 2 * 1048576]
+max_tokens, max_chunks, chunk_units = 262144, 16, 262144
+levels = np.zeros(max_chunks, np.int32)
+
+t0 = time.perf_counter()
+r = tk.tokenize_block(data, levels, max_tokens, max_chunks, chunk_units)
+print(f"first call: {time.perf_counter()-t0:.1f}s", flush=True)
+sym, idx, upos, kind, nunits, ntoks, encpos, n_chunks, err = r
+print("chunks", n_chunks, "err", err, "encpos", encpos[:n_chunks].tolist(), flush=True)
+best = 1e9
+for _ in range(2):
+    t0 = time.perf_counter()
+    tk.tokenize_block(data, levels, max_tokens, max_chunks, chunk_units)
+    best = min(best, time.perf_counter() - t0)
+tot_units = int(nunits[:n_chunks].sum())
+print(f"warm: {best:.2f}s -> {tot_units/best/1e6:.2f} M units/s, "
+      f"{len(data)/best/1e6:.2f} MB/s e0 tokenize", flush=True)
+
+# bit-exactness vs the jitted oracle on the first chunk
+buf = jnp.asarray(np.frombuffer(data + bytes(400), np.uint8))
+state = rops.enc_state_init()
+pos = jnp.int32(0)
+for c in range(n_chunks):
+    state, rsym, ridx, rupos, rkind, rnu, rnt, pos = rops.tokenize_chunk(
+        state, buf, len(data), pos, jnp.int32(2), jnp.int32(1), jnp.int32(0),
+        jnp.int32(max_tokens), chunk_units)
+    assert int(rnu) == int(nunits[c]) and int(pos) == int(encpos[c]), c
+    assert np.array_equal(np.asarray(rsym)[:int(rnu)], np.asarray(sym[c])[:int(rnu)]), c
+    assert np.array_equal(np.asarray(ridx)[:int(rnu)], np.asarray(idx[c])[:int(rnu)]), c
+print("bit-exact vs oracle PASS", flush=True)
