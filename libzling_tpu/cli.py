@@ -5,7 +5,7 @@
 
 Defaults to stdin/stdout like the reference (demo/zling.cpp:176-192); prints
 per-call throughput to stderr (DemoActionHandler analog).  Extra flags:
-``--backend`` picks spec / native / pipeline / jax / auto.
+``--backend`` picks spec / native / pipeline / jax / tpu / auto.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ usage: python -m libzling_tpu <command> [source [target]] [--backend B] [--check
   e, e0..e6   compress (level 0..4 match the reference; e5/e6 are deeper
               searches producing smaller, still reference-decodable streams)
   d           decompress
- backends: auto (default), pipeline, native, spec, jax
+ backends: auto (default), pipeline, native, spec, jax, tpu (on-device decode)
 """
 
 

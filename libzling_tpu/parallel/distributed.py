@@ -1,40 +1,39 @@
-"""Multi-host scale-out scaffolding.
+"""Multi-host scale-out: jax.distributed process groups over the block axis.
 
 The reference is single-process (SURVEY.md section 2: no threads, no MPI);
-the framework's distributed story is jax.distributed process groups with the
-block axis spanning all hosts' devices:
+the framework's distributed equivalent is SPMD over jax.distributed — the
+block axis spans every device in the job, collectives ride ICI within a
+slice and DCN across hosts. ``mesh_encode`` itself is multi-process safe
+(mesh.shard_put places host-replicated inputs shard-wise;
+mesh.host_gather assembles results with process_allgather), so this module
+is the thin process-lifecycle layer around it:
 
-  * call ``init_distributed()`` once per process (reads the standard
-    JAX_COORDINATOR_ADDRESS / JAX_PROCESS_ID / JAX_NUM_PROCESSES env vars or
-    takes them explicitly);
-  * build the global mesh with ``global_block_mesh()`` -- blocks shard over
-    every device in the job, ICI within a slice and DCN across hosts;
-  * ``distributed_encode`` shards each block group across the global mesh
-    (host 0 feeds input offsets; each host reads its own byte ranges),
-    gathers the ragged compressed chunks in block order via
-    ``jax.experimental.multihost_utils.process_allgather``, and host 0
-    assembles the container.
+  * ``init_distributed()`` — once per process (explicit args or the
+    standard JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    env vars);
+  * ``global_block_mesh()`` — blocks over every device of every host;
+  * ``distributed_encode`` — SPMD canonical encode; with
+    ``elastic=True``, a device/runtime failure inside a block group falls
+    back to the host-side spec encoder for the equivalent canonical bytes
+    (blocks are pure functions of bytes + carried state, so recovery
+    changes nothing in the output).
 
-Only host-0 writes output; any host can die and the block group it owned is
-re-dispatched (blocks are pure functions of bytes + carried MTF state, see
-utils/checkpoint.py for the same property used for resume).
-
-This module is exercised single-process in CI (a 1-process "distributed"
-job); real multi-host runs need a pod slice this environment does not have.
+Exercised for real by tests/test_multihost.py: a 2-process jax.distributed
+CPU job in which every process must assemble the identical canonical
+stream (SURVEY.md section 4's multi-process simulation gate).
 """
 
 from __future__ import annotations
 
 import os
 
-import numpy as np
-
 import jax
 
 from . import mesh as pmesh
 
 
-def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
                      process_id: int | None = None) -> bool:
     """Initialize the jax.distributed process group (idempotent).
 
@@ -58,12 +57,34 @@ def global_block_mesh():
     return pmesh.make_mesh(jax.devices())
 
 
-def distributed_encode(data: bytes, level: int, block_size: int = 1 << 17) -> bytes | None:
-    """Encode with blocks sharded over all hosts' devices.
+def distributed_encode(data: bytes, level: int,
+                       block_size: int = pmesh.BLOCK_SIZE_IN,
+                       max_tokens: int = pmesh.BLOCK_SIZE_ROLZ,
+                       tokenizer: str = "xla",
+                       elastic: bool = False) -> bytes:
+    """SPMD canonical encode with blocks sharded over all hosts' devices.
 
-    Every process must call this with the same arguments (SPMD).  Returns
-    the stream on process 0, None elsewhere.
+    Every process must call this with the same arguments and receives the
+    same stream (byte-identical to ``spec.encode`` at equal geometry).
+
+    elastic=True wraps the device path in a host-side recovery lane: if the
+    accelerator run fails (lost chip, wedged runtime), the stream is
+    re-encoded on the host via the executable spec — identical bytes, since
+    blocks are pure functions of (bytes, carried MTF/level state).
     """
     mesh = global_block_mesh()
-    stream = pmesh.mesh_encode(data, level, mesh=mesh, block_size=block_size)
-    return stream if jax.process_index() == 0 else None
+    if not elastic:
+        return pmesh.mesh_encode(data, level, mesh=mesh,
+                                 block_size=block_size,
+                                 max_tokens=max_tokens, tokenizer=tokenizer)
+    try:
+        return pmesh.mesh_encode(data, level, mesh=mesh,
+                                 block_size=block_size,
+                                 max_tokens=max_tokens, tokenizer=tokenizer)
+    except Exception:
+        from .. import spec
+        from ..utils import metrics
+
+        metrics.registry.count("dist.device_failover")
+        return spec.encode(data, level, block_size=block_size,
+                           max_tokens=max_tokens)

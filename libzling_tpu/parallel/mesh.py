@@ -239,6 +239,11 @@ def mesh_encode(data: bytes, level: int, mesh: Mesh | None = None,
     """
     if level not in LEVEL_PARAMS:
         raise ValueError("level must be 0..6")
+    if level > 4 and tokenizer == "xla":
+        # the jitted tokenizer's chain-walk loops have static bounds sized
+        # for e0-e4; deeper searches silently truncate there.  The Pallas
+        # lane uses dynamic-depth loops and is exact at e5/e6.
+        raise ValueError("levels 5-6 on the mesh need tokenizer='pallas'")
     if not data:
         return b""
     if mesh is None:

@@ -21,16 +21,15 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address=coordinator,
-                           num_processes=int(num_procs),
-                           process_id=int(proc_id))
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402
 
 from libzling_tpu import spec  # noqa: E402
-from libzling_tpu.parallel import mesh as pmesh  # noqa: E402
+from libzling_tpu.parallel import distributed as dist  # noqa: E402
+
+assert dist.init_distributed(coordinator, num_procs, proc_id)
 
 assert jax.process_count() == int(num_procs)
 assert len(jax.devices()) == 4 * int(num_procs)
@@ -40,9 +39,8 @@ data = ((b"distributed zling over two processes " * 80)
         + bytes(rng.integers(0, 256, 3000, dtype=np.uint8))
         + (b"tail text recovers the level " * 40))
 
-mesh = pmesh.make_mesh()
-stream = pmesh.mesh_encode(data, level=1, mesh=mesh,
-                           block_size=2048, max_tokens=500)
+stream = dist.distributed_encode(data, level=1, block_size=2048,
+                                 max_tokens=500, elastic=True)
 canonical = spec.encode(data, level=1, block_size=2048, max_tokens=500)
 assert stream == canonical, (
     f"proc {proc_id}: mesh stream != canonical ({len(stream)} vs {len(canonical)})")

@@ -44,3 +44,20 @@ def test_two_process_mesh_encode(tmp_path):
     assert all(p.returncode == 0 for p in procs), "\n".join(logs)
     s0, s1 = outs[0].read_bytes(), outs[1].read_bytes()
     assert s0 == s1 and len(s0) > 0
+
+
+def test_elastic_failover_to_host(monkeypatch):
+    # a device-path failure must fall back to the host spec encoder with
+    # IDENTICAL canonical bytes (blocks are pure functions of bytes+state)
+    from libzling_tpu import spec
+    from libzling_tpu.parallel import distributed as dist, mesh as pmesh
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device loss")
+
+    monkeypatch.setattr(pmesh, "mesh_encode", boom)
+    data = b"elastic failover " * 200
+    out = dist.distributed_encode(data, level=1, block_size=1024,
+                                  max_tokens=400, elastic=True)
+    assert out == spec.encode(data, level=1, block_size=1024, max_tokens=400)
+    assert spec.decode(out) == data
