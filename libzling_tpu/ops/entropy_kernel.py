@@ -28,8 +28,9 @@ Verified bit-exact against the native oracle BOTH in interpreter mode
 >LUT_BITS fallback paths) and compiled on the v5e (tools/bench_device.py:
 all chunks of a 33 MB e0 stream).
 
-Host-side table construction is NumPy (vectorized across chunks); the
-windows-to-symbol classification mirrors ZlingMakeDecodeTable semantics
+Table construction is jitted XLA on device (the host ships only the tiny
+nibble-unpacked length arrays); the windows-to-symbol classification
+mirrors ZlingMakeDecodeTable semantics
 (reference src/libzling_huffman.cpp:114-153) without copying its code: we
 classify every window value by canonical tier ranges instead of filling by
 stride.
@@ -62,7 +63,7 @@ MAX_TOKENS = 262144           # chunk token budget (kBlockSizeRolz)
 
 
 # ---------------------------------------------------------------------------
-# host: packed table construction (vectorized over chunks)
+# device: packed table construction (vectorized over chunks, jitted)
 # ---------------------------------------------------------------------------
 
 
@@ -75,27 +76,27 @@ def _bitrev(v: np.ndarray, bits: int) -> np.ndarray:
     return r
 
 
-def _canonical_tiers(lengths: np.ndarray, max_len: int):
-    """Per-chunk canonical code metadata.
+def _canonical_tiers(lengths, max_len: int):
+    """Per-chunk canonical code metadata (jnp, runs jitted on device).
 
-    lengths: [C, n].  Returns (start, count, base, order):
+    lengths: [C, n] i32.  Returns (start, count, base, order):
       start[C, L+1]: first MSB-first code value of each length tier;
       count[C, L+1]: symbols per tier;  base[C, L+1]: tier offset into order;
       order[C, n]: symbols sorted by (length, symbol id), zero-lengths last.
     """
     C, n = lengths.shape
     L = max_len
-    onehot = (lengths[..., None] == np.arange(L + 1)).astype(np.int64)  # [C,n,L+1]
-    count = onehot.sum(axis=1)
-    count[:, 0] = 0
-    start = np.zeros((C, L + 1), np.int64)
-    c = np.zeros(C, np.int64)
+    onehot = (lengths[..., None] == jnp.arange(L + 1)).astype(jnp.int32)
+    count = onehot.sum(axis=1).at[:, 0].set(0)
+    starts = [jnp.zeros(C, jnp.int32)]
+    c = jnp.zeros(C, jnp.int32)
     for l in range(1, L + 1):
-        start[:, l] = c
+        starts.append(c)
         c = (c + count[:, l]) * 2
-    base = np.cumsum(count, axis=1) - count
-    key = np.where(lengths > 0, lengths, L + 1) * n + np.arange(n)
-    order = np.argsort(key, axis=1).astype(np.int32)
+    start = jnp.stack(starts, axis=1)
+    base = jnp.cumsum(count, axis=1) - count
+    key = jnp.where(lengths > 0, lengths, L + 1) * n + jnp.arange(n)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
     return start, count, base, order
 
 
@@ -103,29 +104,29 @@ def _classify_windows(start, count, base, order, max_len: int, lut_bits: int):
     """LUT[C, 2**lut_bits] -> sym | len << 16 (or -1 for miss / longer code).
 
     A window w (LSB-first peek) decodes as the unique length l whose
-    MSB-first tier range contains bitrev(w)'s top l bits.
+    MSB-first tier range contains bitrev(w)'s top l bits.  (jnp, jitted.)
     """
-    C = start.shape[0]
     W = 1 << lut_bits
-    v = _bitrev(np.arange(W, dtype=np.uint32), lut_bits).astype(np.int64)  # MSB view
-    lut = np.full((C, W), -1, np.int32)
-    found = np.zeros((C, W), bool)
+    v = jnp.asarray(_bitrev(np.arange(W, dtype=np.uint32), lut_bits)
+                    .astype(np.int32))  # MSB view, compile-time constant
+    lut = jnp.full((start.shape[0], W), -1, jnp.int32)
+    found = jnp.zeros((start.shape[0], W), bool)
     for l in range(1, min(max_len, lut_bits) + 1):
         top = v >> (lut_bits - l)
         s = start[:, l][:, None]
         cnt = count[:, l][:, None]
         hit = (~found) & (top >= s) & (top < s + cnt)
-        pos = np.clip(base[:, l][:, None] + top - s, 0, order.shape[1] - 1)
-        sym = np.take_along_axis(order, pos.astype(np.int64), axis=1)
-        lut = np.where(hit, sym | (l << 16), lut)
-        found |= hit
+        pos = jnp.clip(base[:, l][:, None] + top - s, 0, order.shape[1] - 1)
+        sym = jnp.take_along_axis(order, pos, axis=1)
+        lut = jnp.where(hit, sym | (l << 16), lut)
+        found = found | hit
     return lut
 
 
-def build_chunk_tables(len1: np.ndarray, len2: np.ndarray,
-                       n_words: np.ndarray, word_base: np.ndarray,
-                       rlens: np.ndarray):
-    """Pack per-chunk decode tables for the kernel.
+@jax.jit
+def build_chunk_tables(len1, len2, n_words, word_base, rlens):
+    """Pack per-chunk decode tables for the kernel (device-side, jitted --
+    the host contributes only the tiny nibble-unpacked length arrays).
 
     len1 [C, 514], len2 [C, 32]: code lengths from the chunk headers.
     n_words[C]: payload words incl. >=2 zero-padding words (the bit reader
@@ -137,33 +138,32 @@ def build_chunk_tables(len1: np.ndarray, len2: np.ndarray,
     lut2 [C,8,128] i32).
     """
     C = len1.shape[0]
+    len1 = len1.astype(jnp.int32)
+    len2 = len2.astype(jnp.int32)
     s1, c1, b1, o1 = _canonical_tiers(len1, HUFFMAN_MAX_LEN_1)
     lut1 = _classify_windows(s1, c1, b1, o1, HUFFMAN_MAX_LEN_1, LUT_BITS)
 
     s2, c2, b2, o2 = _canonical_tiers(len2, HUFFMAN_MAX_LEN_2)
     # full 8-bit LUT for alphabet 2 -> len2 | matchidx_bitlen << 8 | base << 16
-    lut2sym = _classify_windows(s2, c2, b2, o2, HUFFMAN_MAX_LEN_2, HUFFMAN_MAX_LEN_2)
-    blen = np.asarray(MATCHIDX_BLEN, np.int32)
-    mbase = np.asarray(MATCHIDX_BASE, np.int32)
-    sym2 = lut2sym & 0xFFFF
+    lut2sym = _classify_windows(s2, c2, b2, o2, HUFFMAN_MAX_LEN_2,
+                                HUFFMAN_MAX_LEN_2)
+    blen = jnp.asarray(np.asarray(MATCHIDX_BLEN, np.int32))
+    mbase = jnp.asarray(np.asarray(MATCHIDX_BASE, np.int32))
+    sym2 = jnp.clip(lut2sym & 0xFFFF, 0, 31)
     l2 = lut2sym >> 16
-    lut2 = np.where(lut2sym >= 0,
-                    l2 | (blen[np.clip(sym2, 0, 31)] << 8)
-                    | (mbase[np.clip(sym2, 0, 31)] << 16),
-                    -1).astype(np.int32)
+    lut2 = jnp.where(lut2sym >= 0,
+                     l2 | (blen[sym2] << 8) | (mbase[sym2] << 16), -1)
 
-    meta = np.zeros((C, 8, 128), np.int32)
-    meta[:, 0, 0] = n_words
-    meta[:, 0, 1] = rlens
-    meta[:, 0, 2] = word_base
-    meta[:, 1, 1:HUFFMAN_MAX_LEN_1 + 1] = s1[:, 1:].astype(np.int32)
-    meta[:, 2, 1:HUFFMAN_MAX_LEN_1 + 1] = c1[:, 1:].astype(np.int32)
-    meta[:, 3, 1:HUFFMAN_MAX_LEN_1 + 1] = b1[:, 1:].astype(np.int32)
+    meta = jnp.zeros((C, 8, 128), jnp.int32)
+    meta = meta.at[:, 0, 0].set(n_words.astype(jnp.int32))
+    meta = meta.at[:, 0, 1].set(rlens.astype(jnp.int32))
+    meta = meta.at[:, 0, 2].set(word_base.astype(jnp.int32))
+    meta = meta.at[:, 1, 1:HUFFMAN_MAX_LEN_1 + 1].set(s1[:, 1:])
+    meta = meta.at[:, 2, 1:HUFFMAN_MAX_LEN_1 + 1].set(c1[:, 1:])
+    meta = meta.at[:, 3, 1:HUFFMAN_MAX_LEN_1 + 1].set(b1[:, 1:])
 
-    order1 = np.zeros((C, 1024), np.int32)
-    order1[:, :HUFFMAN_CODES_1] = o1
-    lut2p = np.full((C, 1024), -1, np.int32)
-    lut2p[:, :256] = lut2
+    order1 = jnp.zeros((C, 1024), jnp.int32).at[:, :HUFFMAN_CODES_1].set(o1)
+    lut2p = jnp.full((C, 1024), -1, jnp.int32).at[:, :256].set(lut2)
     return (meta, order1.reshape(C, 8, 128),
             lut1.reshape(C, 8, 512), lut2p.reshape(C, 8, 128))
 
@@ -203,45 +203,15 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
     # with `nbits` valid bits counted from lo's LSB (bits above nbits are
     # zero).  One unit consumes at most 15 + 8 + 8 = 31 bits, so topping up
     # to >= 32 bits once per unit keeps every peek inside lo -- this replaces
-    # the previous three windowed SMEM loads per unit with register ops
-    # (~4x fewer scalar ops per token; see DESIGN.md section 3.1).
+    # the previous three windowed SMEM loads per unit with register ops.
+    # The loop decodes TWO units per iteration so the loop/slab/flush
+    # overhead (~25 cycles) amortizes; the second unit is select-gated when
+    # the first one finishes the chunk.
 
-    def body(carry):
-        wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad = carry
-
-        # keep the slab covering the next word to fetch
-        need = wpos >= woff + slab_words
-
-        @pl.when(need)
-        def _():
-            load_slab((wpos >> 7) << 7)
-
-        woff = jnp.where(need, (wpos >> 7) << 7, woff)
-
-        # drain the token buffer in aligned bursts
-        do_flush = obuf_n >= flush_tokens
-
-        @pl.when(do_flush)
-        def _():
-            # out is flat [1, C * out_tokens]: single-row slices of tiled 2-D
-            # HBM arrays are not DMA-able (sublane tiling), flat offsets are
-            dst = pl.multiple_of(out_base + nflushed * flush_tokens, 128)
-            cp = pltpu.make_async_copy(obuf_ref.at[0, pl.ds(0, flush_tokens)],
-                                       out_ref.at[0, pl.ds(dst, flush_tokens)],
-                                       sem_out)
-            cp.start()
-            cp.wait()
-
-            @pl.when(obuf_n > flush_tokens)
-            def _():
-                obuf_ref[0, 0] = obuf_ref[0, flush_tokens]
-
-        nflushed = nflushed + do_flush.astype(jnp.int32)
-        obuf_n = jnp.where(do_flush, obuf_n - flush_tokens, obuf_n)
-
-        # ---- refill the accumulator (at most one word per unit)
+    def one_unit(wpos, woff, lo, hi, nbits, emitted, obuf_n, bad, active):
+        # refill the accumulator (at most one word per unit)
         w = slab_ref[0, wpos - woff]
-        fill = nbits < 32
+        fill = active & (nbits < 32)
         lo = jnp.where(fill, jnp.where(nbits == 0, w, lo | (w << nbits)), lo)
         hi = jnp.where(fill,
                        jnp.where(nbits == 0, 0,
@@ -249,12 +219,12 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         wpos = wpos + fill.astype(jnp.int32)
         nbits = nbits + jnp.where(fill, 32, 0)
 
-        # ---- alphabet-1 symbol via the 12-bit LUT; codes of 13..15 bits take
+        # alphabet-1 symbol via the 12-bit LUT; codes of 13..15 bits take
         # the canonical tier-compare fallback, branch-gated with pl.when so
-        # the (rare) path costs the hot loop only a compare + one SMEM load.
+        # the (rare) path costs the hot loop only a compare + one SMEM load
         e = lut1_ref[0, _srl(lo & 0xFFF, 9), lo & 0x1FF]
 
-        @pl.when(e < 0)
+        @pl.when(active & (e < 0))
         def _():
             # reverse the 15-bit window to the MSB-first canonical view
             v = lo & 0x7FFF
@@ -276,37 +246,79 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
             fb_ref[0] = packed
 
         ev = jnp.where(e < 0, fb_ref[0], e)
-        bad = bad | (ev < 0)
+        bad = bad | (active & (ev < 0))
         ev = jnp.maximum(ev, 0)
         sym = ev & 0xFFFF
-        l1 = jnp.maximum(_srl(ev, 16) & 31, 1)  # >=1 keeps shifts defined on bad
+        l1 = jnp.maximum(_srl(ev, 16) & 31, 1)  # >=1 keeps shifts defined
 
-        # ---- matchidx (code2 + extra bits): peeked straight out of lo at
-        # offsets l1 and l1+l2 (l1+l2+blen <= 31 < nbits), applied only for
-        # match symbols
+        # matchidx (code2 + extra bits): peeked straight out of lo at
+        # offsets l1 and l1+l2 (l1+l2+blen <= 31 < nbits)
         is_match = (sym >= 258) & (emitted + 1 < rlen)
         p2 = _srl(lo, l1) & 0xFF
         e2 = lut2_ref[0, _srl(p2, 7), p2 & 0x7F]
-        bad = bad | (is_match & (e2 < 0))
+        bad = bad | (active & is_match & (e2 < 0))
         e2 = jnp.maximum(e2, 0)
         l2 = e2 & 0xFF
         blen = _srl(e2, 8) & 0xFF
         extra = _srl(lo, l1 + l2) & ((jnp.int32(1) << blen) - 1)
         idxtok = _srl(e2, 16) + extra
 
-        # ---- consume (1 <= nc <= 31) and emit; idxtok is written
+        # consume (1 <= nc <= 31) and emit; idxtok is written
         # unconditionally (obuf has slack) and kept only for matches
-        nc = l1 + jnp.where(is_match, l2 + blen, 0)
-        lo = _srl(lo, nc) | (hi << (32 - nc))
-        hi = _srl(hi, nc)
-        nbits = nbits - nc
+        nc = jnp.where(active, l1 + jnp.where(is_match, l2 + blen, 0), 1)
+        lo2 = _srl(lo, nc) | (hi << (32 - nc))
+        hi2 = _srl(hi, nc)
+        lo = jnp.where(active, lo2, lo)
+        hi = jnp.where(active, hi2, hi)
+        nbits = nbits - jnp.where(active, nc, 0)
         obuf_ref[0, obuf_n] = sym
         obuf_ref[0, obuf_n + 1] = idxtok
-        adv = 1 + is_match.astype(jnp.int32)
+        adv = jnp.where(active, 1 + is_match.astype(jnp.int32), 0)
         obuf_n = obuf_n + adv
         emitted = emitted + adv
+        bad = bad | (active & (wpos > n_words))
+        return wpos, lo, hi, nbits, emitted, obuf_n, bad
 
-        bad = bad | (wpos > n_words)
+    def body(carry):
+        wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad = carry
+
+        # keep the slab covering the next TWO words (one refill per unit)
+        need = wpos + 1 >= woff + slab_words
+
+        @pl.when(need)
+        def _():
+            load_slab((wpos >> 7) << 7)
+
+        woff = jnp.where(need, (wpos >> 7) << 7, woff)
+
+        # drain the token buffer in aligned bursts (up to 4 tokens/iter)
+        do_flush = obuf_n >= flush_tokens
+
+        @pl.when(do_flush)
+        def _():
+            # out is flat [1, C * out_tokens]: single-row slices of tiled 2-D
+            # HBM arrays are not DMA-able (sublane tiling), flat offsets are
+            dst = pl.multiple_of(out_base + nflushed * flush_tokens, 128)
+            cp = pltpu.make_async_copy(obuf_ref.at[0, pl.ds(0, flush_tokens)],
+                                       out_ref.at[0, pl.ds(dst, flush_tokens)],
+                                       sem_out)
+            cp.start()
+            cp.wait()
+            # carry any leftover tokens (slots beyond obuf_n are garbage and
+            # get overwritten or never read)
+            obuf_ref[0, 0] = obuf_ref[0, flush_tokens]
+            obuf_ref[0, 1] = obuf_ref[0, flush_tokens + 1]
+            obuf_ref[0, 2] = obuf_ref[0, flush_tokens + 2]
+            obuf_ref[0, 3] = obuf_ref[0, flush_tokens + 3]
+
+        nflushed = nflushed + do_flush.astype(jnp.int32)
+        obuf_n = jnp.where(do_flush, obuf_n - flush_tokens, obuf_n)
+
+        wpos, lo, hi, nbits, emitted, obuf_n, bad = one_unit(
+            wpos, woff, lo, hi, nbits, emitted, obuf_n, bad, jnp.bool_(True))
+        active2 = (emitted < rlen) & ~bad
+        wpos, lo, hi, nbits, emitted, obuf_n, bad = one_unit(
+            wpos, woff, lo, hi, nbits, emitted, obuf_n, bad, active2)
         return wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad
 
     def cond(carry):
@@ -390,8 +402,8 @@ def decode_chunks(len1: np.ndarray, len2: np.ndarray, payloads: list[bytes],
     [C, 8, 128]: [c,0,0]=emitted, [c,0,1]=bits consumed, [c,0,2]=bad).
     """
     C = len(payloads)
-    word_base = np.zeros(C, np.int64)
-    n_words = np.zeros(C, np.int64)
+    word_base = np.zeros(C, np.int32)
+    n_words = np.zeros(C, np.int32)
     flat = []
     base = 0
     for i, p in enumerate(payloads):
@@ -407,10 +419,12 @@ def decode_chunks(len1: np.ndarray, len2: np.ndarray, payloads: list[bytes],
     words = np.concatenate(flat).view("<u4").astype(np.int32)
 
     meta, order1, lut1, lut2 = build_chunk_tables(
-        np.asarray(len1, np.int64), np.asarray(len2, np.int64),
-        n_words, word_base, np.asarray(rlens, np.int64))
+        jnp.asarray(np.asarray(len1, np.int32)),
+        jnp.asarray(np.asarray(len2, np.int32)),
+        jnp.asarray(n_words), jnp.asarray(word_base),
+        jnp.asarray(np.asarray(rlens, np.int32)))
     tokens, status = _decode_call(
-        jnp.asarray(meta), jnp.asarray(order1), jnp.asarray(lut1),
-        jnp.asarray(lut2), jnp.asarray(words[None, :]), interpret=interpret,
-        slab_words=slab_words, flush_tokens=flush_tokens, max_tokens=max_tokens)
+        meta, order1, lut1, lut2, jnp.asarray(words[None, :]),
+        interpret=interpret, slab_words=slab_words,
+        flush_tokens=flush_tokens, max_tokens=max_tokens)
     return tokens, status
