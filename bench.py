@@ -130,7 +130,7 @@ def main() -> None:
             log("device decode (Pallas entropy + resolve kernels)...")
             r = subprocess.run(
                 [sys.executable, str(REPO / "tools" / "bench_device_decode.py"),
-                 "--mb", "32"], capture_output=True, text=True, timeout=900)
+                 "--mb", "32"], capture_output=True, text=True, timeout=1200)
             for line in r.stdout.splitlines():
                 if line.startswith("warm e2e:"):
                     results["tpu"]["decode_mbps_e0_32MB"] = float(
@@ -142,7 +142,7 @@ def main() -> None:
             log("device entropy kernel...")
             r = subprocess.run(
                 [sys.executable, str(REPO / "tools" / "bench_device.py"),
-                 "--mb", "32"], capture_output=True, text=True, timeout=900)
+                 "--mb", "32"], capture_output=True, text=True, timeout=1200)
             for line in r.stdout.splitlines():
                 if line.startswith("warm:"):
                     results["tpu"]["entropy_mtoks"] = float(

@@ -83,11 +83,14 @@ def main() -> None:
     tokens, status = ek.decode_chunks(len1, len2, bodies, rlens)
     np.asarray(status)
     print(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    tokens, status = ek.decode_chunks(len1, len2, bodies, rlens)
-    status_np = np.asarray(status)
+    # best-of-6: the tunnel adds 2-3x run-to-run variance (DESIGN.md 2b)
+    dt = 1e9
+    for _ in range(6):
+        t0 = time.perf_counter()
+        tokens, status = ek.decode_chunks(len1, len2, bodies, rlens)
+        status_np = np.asarray(status)
+        dt = min(dt, time.perf_counter() - t0)
     tokens_np = np.asarray(tokens)
-    dt = time.perf_counter() - t0
     print(f"warm: {dt:.2f}s -> {total_tokens / dt / 1e6:.1f} M tok/s "
           f"({len(data) / dt / 1e6:.1f} MB/s of input)")
     assert not status_np[:, 0, 2].any(), "kernel flagged valid chunks bad"
