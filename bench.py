@@ -150,6 +150,18 @@ def main() -> None:
                     log("  " + line.strip())
         except Exception:
             pass
+        try:
+            log("device ROLZ tokenizer kernel...")
+            r = subprocess.run(
+                [sys.executable, str(REPO / "tools" / "bench_device_encode.py")],
+                capture_output=True, text=True, timeout=1200)
+            for line in r.stdout.splitlines():
+                if line.startswith("warm:"):
+                    results["tpu"]["tokenize_mbps_e0"] = float(
+                        line.split(",")[1].split("MB/s")[0])
+                    log("  " + line.strip())
+        except Exception:
+            pass
 
     # match-loop observability (reference debug-counter analog)
     try:

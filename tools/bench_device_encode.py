@@ -35,7 +35,11 @@ tot_units = int(nunits[:n_chunks].sum())
 print(f"warm: {best:.2f}s -> {tot_units/best/1e6:.2f} M units/s, "
       f"{len(data)/best/1e6:.2f} MB/s e0 tokenize", flush=True)
 
-# bit-exactness vs the jitted oracle on the first chunk
+# bit-exactness vs the jitted oracle (slow on the XLA token loop): opt-in
+# for the bench; covered by tests/test_tokenize_kernel.py and the standing
+# device verification run
+if "--verify" not in sys.argv:
+    raise SystemExit(0)
 buf = jnp.asarray(np.frombuffer(data + bytes(400), np.uint8))
 state = rops.enc_state_init()
 pos = jnp.int32(0)
