@@ -305,4 +305,5 @@ def main2():
 
 
 if __name__ == "__main__":
+    main()
     main2()
