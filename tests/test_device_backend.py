@@ -104,3 +104,12 @@ def test_rejects_encpos_mismatch():
     stream = _craft_raw_chunk([65, 66, 67], 9)  # claims 9, decodes 3
     with pytest.raises(ValueError):
         device.decode(stream, interpret=True, **KPARAMS)
+
+
+def test_api_tpu_backend_roundtrip():
+    # the "tpu" backend through the public API (decode via both kernels)
+    import libzling_tpu as z
+
+    data = (b"public api tpu backend " * 50)[:1000]
+    stream = z.encode(data, 1)
+    assert z.decode(stream, backend="tpu") == data
