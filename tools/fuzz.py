@@ -21,6 +21,13 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# the device-kernel decode lane below runs the Pallas interpreters: force
+# the CPU backend (the ambient env pins JAX to the tunneled TPU, where
+# interpret mode would round-trip the tunnel per op -- CLAUDE.md gotchas)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import libzling_tpu as z  # noqa: E402
 
 
@@ -77,6 +84,15 @@ def main() -> int:
                 expect = subprocess.run([str(ref), f"e{level}"], input=data,
                                         capture_output=True, timeout=120).stdout
                 assert stream == expect, "not bit-exact with reference"
+            # device-kernel decode lane (Pallas entropy + resolve), in
+            # interpreter mode for small blobs: must agree byte-for-byte
+            if n <= 3000:
+                from libzling_tpu import device
+
+                got = device.decode(stream, interpret=True, slab_words=256,
+                                    flush_tokens=256, max_tokens=8192,
+                                    slab_tokens=256)
+                assert got == data, "device-kernel decode mismatch"
             # corrupt-stream decode: flip a random bit; must raise or produce
             # bytes, never hang (bounded by subprocess-free in-process call)
             if stream:
