@@ -34,11 +34,17 @@ def _auto_interpret() -> bool:
 
 
 def decode(data: bytes, interpret: bool | None = None, *,
+           fused: bool = False,
            slab_words: int = ek.SLAB_WORDS,
            flush_tokens: int = ek.FLUSH_TOKENS,
            max_tokens: int = ek.MAX_TOKENS,
            slab_tokens: int = rk.SLAB_TOKENS) -> bytes:
-    """Decode a zling stream on the TPU.  Bit-exact with spec.decode."""
+    """Decode a zling stream on the TPU.  Bit-exact with spec.decode.
+
+    fused=True runs the single-pass kernel (bit-read + resolve in one loop,
+    no intermediate token array) -- the fastest single-core layout; the
+    default two-kernel pipeline is the multi-core layout.
+    """
     if not data:
         return b""
     if interpret is None:
@@ -48,17 +54,6 @@ def decode(data: bytes, interpret: bool | None = None, *,
         return b""
     len1, len2, bodies, rlens = container.unpack_length_tables(chunks)
     C = len(chunks)
-
-    tokens, status = ek.decode_chunks(
-        len1, len2, bodies, rlens, interpret=interpret,
-        slab_words=slab_words, flush_tokens=flush_tokens,
-        max_tokens=max_tokens)
-    st = np.asarray(status)
-    if st[:, 0, 2].any() or (st[:, 0, 0] != rlens).any():
-        raise ValueError("zling: corrupt stream (huffman)")
-
-    tok_stride = max_tokens + 2 * flush_tokens
-    tokens_flat = tokens.reshape(1, C * tok_stride)
 
     # per-chunk metadata: block starts + the owning block's output base in
     # the UNPACKED (byte-per-word) output, 128-aligned with flush-burst
@@ -80,12 +75,34 @@ def decode(data: bytes, interpret: bool | None = None, *,
             prev_bid = ch.block_id
         hbm_base[c] = block_base_rows[ch.block_id]
 
-    packed, rstatus = rk.resolve_stream(
-        tokens_flat, rlens.astype(np.int32), encpos, new_block, hbm_base,
-        tok_stride, out_words, interpret=interpret, slab_tokens=slab_tokens)
-    rst = np.asarray(rstatus)[:, 0, :]
-    if rst[:, 2].any():
-        raise ValueError("zling: corrupt stream (resolve)")
+    if fused:
+        from .ops import decode_fused as fk
+
+        packed, rstatus = fk.fused_decode(
+            len1, len2, bodies, rlens.astype(np.int32), encpos, new_block,
+            hbm_base, out_words, interpret=interpret)
+        rst = np.asarray(rstatus)[:, 0, :]
+        if rst[:, 2].any() or (rst[:, 1] != rlens).any():
+            raise ValueError("zling: corrupt stream")
+    else:
+        tokens, status = ek.decode_chunks(
+            len1, len2, bodies, rlens, interpret=interpret,
+            slab_words=slab_words, flush_tokens=flush_tokens,
+            max_tokens=max_tokens)
+        st = np.asarray(status)
+        if st[:, 0, 2].any() or (st[:, 0, 0] != rlens).any():
+            raise ValueError("zling: corrupt stream (huffman)")
+
+        tok_stride = max_tokens + 2 * flush_tokens
+        tokens_flat = tokens.reshape(1, C * tok_stride)
+
+        packed, rstatus = rk.resolve_stream(
+            tokens_flat, rlens.astype(np.int32), encpos, new_block, hbm_base,
+            tok_stride, out_words, interpret=interpret,
+            slab_tokens=slab_tokens)
+        rst = np.asarray(rstatus)[:, 0, :]
+        if rst[:, 2].any():
+            raise ValueError("zling: corrupt stream (resolve)")
 
     raw = np.ascontiguousarray(np.asarray(packed)).view(np.uint8)
     parts = []

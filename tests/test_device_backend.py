@@ -113,3 +113,21 @@ def test_api_tpu_backend_roundtrip():
     data = (b"public api tpu backend " * 50)[:1000]
     stream = z.encode(data, 1)
     assert z.decode(stream, backend="tpu") == data
+
+
+def test_fused_decode_matches():
+    # the single-pass fused kernel must agree with the two-kernel pipeline
+    rng = np.random.default_rng(31)
+    pieces = [
+        (b"fused decode pass " * 80),
+        b"xy" * 500 + bytes(rng.integers(0, 256, 700, dtype=np.uint8)),
+    ]
+    stream = _make_stream(pieces, level=1, max_tokens=300)
+    data = b"".join(pieces)
+    assert device.decode(stream, interpret=True, fused=True) == data
+
+
+def test_fused_decode_rejects_corrupt():
+    stream = _craft_raw_chunk([65, 66, 258, 0], 6)
+    with pytest.raises(ValueError):
+        device.decode(stream, interpret=True, fused=True)
