@@ -1,15 +1,16 @@
 """The "tpu" backend: decode runs on the accelerator via Pallas kernels.
 
-Pipeline (all codec compute on device; host only parses framing and builds
-decode tables):
+Two layouts (all codec compute on device; host only parses framing):
+
+  fused (default): one scalar-core pass per chunk -- the Huffman bit-reader
+      feeds the ROLZ resolve state machine directly (ops/decode_fused.py);
+      no intermediate token array.  Fastest on single-core parts.
+  split: chunk entropy decode (ops/entropy_kernel.py, grid over chunks --
+      parallel across cores on multi-core parts) then the sequential
+      resolve kernel (ops/resolve_kernel.py); tokens stay on device.
 
   [host]   parse container, nibble-unpack per-chunk length tables
-  [device] chunk entropy decode -- Pallas scalar-core kernel with SMEM LUTs
-           (ops/entropy_kernel.py), all chunks in one grid
-  [device] sequential ROLZ resolve -- Pallas kernel with the 16 MB block in
-           VMEM byte-planes, ring + MTF state on-chip
-           (ops/resolve_kernel.py); tokens never leave the device
-  [host]   one packed-bytes fetch + per-block slicing
+  [host]   one packed-bytes fetch + per-block slicing at the end
 
 For reference-format streams the resolve chain is serial (contexts are
 decoded content, MTF crosses blocks -- DESIGN.md section 4), so this backend
@@ -34,16 +35,16 @@ def _auto_interpret() -> bool:
 
 
 def decode(data: bytes, interpret: bool | None = None, *,
-           fused: bool = False,
+           fused: bool = True,
            slab_words: int = ek.SLAB_WORDS,
            flush_tokens: int = ek.FLUSH_TOKENS,
            max_tokens: int = ek.MAX_TOKENS,
            slab_tokens: int = rk.SLAB_TOKENS) -> bytes:
     """Decode a zling stream on the TPU.  Bit-exact with spec.decode.
 
-    fused=True runs the single-pass kernel (bit-read + resolve in one loop,
-    no intermediate token array) -- the fastest single-core layout; the
-    default two-kernel pipeline is the multi-core layout.
+    The default single-pass fused kernel (bit-read + resolve in one loop,
+    no intermediate token array) is the fastest single-core layout;
+    fused=False selects the two-kernel pipeline, the multi-core layout.
     """
     if not data:
         return b""

@@ -61,11 +61,13 @@ def test_multichunk_multiblock_roundtrip():
 
 
 def test_single_long_match_chain():
-    # long runs produce max-length (259-byte) overlapping matches
+    # long runs produce max-length (259-byte) overlapping matches; cover
+    # BOTH decode layouts (fused default + the two-kernel pipeline)
     data = b"A" * 900 + b"B" + b"A" * 900
     stream = _make_stream([data], level=0, max_tokens=4000)
     assert spec.decode(stream) == data
     assert device.decode(stream, interpret=True, **KPARAMS) == data
+    assert device.decode(stream, interpret=True, fused=False, **KPARAMS) == data
 
 
 def test_real_spec_stream():

@@ -30,8 +30,8 @@ def main() -> None:
     ap.add_argument("--mb", type=int, default=32)
     ap.add_argument("--level", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=5)
-    ap.add_argument("--fused", action="store_true",
-                    help="single-pass fused kernel instead of the pipeline")
+    ap.add_argument("--split", action="store_true",
+                    help="two-kernel pipeline instead of the fused default")
     args = ap.parse_args()
 
     from tools.make_corpus import cached_corpus
@@ -43,7 +43,7 @@ def main() -> None:
           flush=True)
 
     t0 = time.perf_counter()
-    out = device.decode(stream, interpret=False, fused=args.fused)
+    out = device.decode(stream, interpret=False, fused=not args.split)
     print(f"first call (compile+run): {time.perf_counter() - t0:.1f}s",
           flush=True)
     assert out == data, "device decode mismatch on first call"
@@ -51,7 +51,7 @@ def main() -> None:
     best = 1e9
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        out = device.decode(stream, interpret=False, fused=args.fused)
+        out = device.decode(stream, interpret=False, fused=not args.split)
         best = min(best, time.perf_counter() - t0)
     assert out == data
     print(f"warm e2e: {best:.2f}s -> {len(data) / best / 1e6:.1f} MB/s "
