@@ -15,11 +15,12 @@ Hardware mapping (costs measured in DESIGN.md section 0):
     effectively free;
   * the 256-bucket state (hash heads, chains, slot pos|check) lives in
     VMEM as one entry per int32 lane, updated with one-hot RMW blends
-    (cheap) and read with one-hot reductions; every read is branch-gated,
-    but the chain walk is inherently a serial chain of ~140-cycle
-    vector->scalar transfers -- the dominant per-position cost and the
-    measured reason a v5e chip cannot race a host core on this loop
-    (DESIGN.md section 3.4);
+    (cheap) and read with one-hot reductions; independent fetches (a
+    node's slot + chain link) are issued together so their ~140-cycle
+    transfer latencies overlap (DESIGN.md section 0), but the walk is
+    still a serial transfer chain -- measured ~2000 cycles/unit end to
+    end, so round-3 work is a profiling pass plus cross-iteration
+    software pipelining (DESIGN.md section 3.4a);
   * GetCommonLength runs on the VPU: both 264-byte windows are
     funnel-aligned from the VMEM block copy and compared in one shot with
     a single first-mismatch extract;
@@ -165,15 +166,17 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
         def lbody(carry):
             i, node, prev_off, hit, done = carry
+            # slot and chain-link fetches are independent: issued together
+            # they overlap to ~one transfer latency (DESIGN.md section 0)
             s = onehot(slot_ref, lctx * 32 + _srl(node, 7), node & 127)
+            nxt_raw = onehot(chain_ref, lctx * 32 + _srl(node, 7),
+                             node & 127)
             off = s & 0xFFFFFF
             stale = (i > 0) & (prev_off <= off)
             h = ~stale & (u32le_cand(off + probe_at) == want)
             hit = hit | h
             done = done | stale | h | (i + 1 >= depth)
-            nxt = jnp.where(done, node,
-                            onehot(chain_ref, lctx * 32 + _srl(node, 7),
-                                   node & 127))
+            nxt = jnp.where(done, node, nxt_raw)
             done = done | (nxt == _NIL)
             return i + 1, jnp.where(done, node, nxt), off, hit, done
 
@@ -205,7 +208,11 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
         def wbody(carry):
             i, node, prev_off, best_len, best_node, done = carry
+            # independent transfers overlap: fetch the slot AND the chain
+            # link together instead of gating the link behind the verdict
             s = onehot(slot_ref, ctx * 32 + _srl(node, 7), node & 127)
+            nxt_raw = onehot(chain_ref, ctx * 32 + _srl(node, 7),
+                             node & 127)
             off = s & 0xFFFFFF
             ncheck = _srl(s, 24) & 255
             done = done | ((i > 0) & (prev_off <= off))
@@ -233,9 +240,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
             best_len = jnp.where(better, lcp, best_len)
             done = done | (best_len == MATCH_MAX_LEN) | (i + 1 >= depth)
 
-            nxt = jnp.where(done, node,
-                            onehot(chain_ref, ctx * 32 + _srl(node, 7),
-                                   node & 127))
+            nxt = jnp.where(done, node, nxt_raw)
             done = done | (nxt == _NIL)
             return (i + 1, jnp.where(done, node, nxt), off, best_len,
                     best_node, done)
