@@ -101,6 +101,14 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
     fill(chain_ref, RING_ROWS, _NIL)
     fill(slot_ref, RING_ROWS, 0)
 
+    # Pallas outputs are uninitialized: zero the stat block so chunk slots
+    # never reached report nunits/ntoks/encpos = 0 (consumers mask on them)
+    def zstat(i, _):
+        stat_ref[0, i >> 8, i & 255] = 0
+        return 0
+
+    jax.lax.fori_loop(0, 8 * 256, zstat, 0)
+
     def zhead(i, _):
         head_ref[0, i] = 0
         return 0
@@ -204,7 +212,6 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         rmw(hash_ref, hrow, hslot & 127, head)
 
         searchable = (node0 != _NIL) & (node0 != head)
-        cur3 = funnel3(ipos)
 
         def wbody(carry):
             i, node, prev_off, best_len, best_node, done = carry
@@ -229,7 +236,10 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
             @pl.when(probe_ok)
             def _():
-                neq = cur3 != funnel3(off)
+                # both funnel windows built only on a probe hit (the common
+                # miss path pays nothing; DESIGN.md section 0 vector-issue
+                # costs from the scalar loop are per-op)
+                neq = funnel3(ipos) != funnel3(off)
                 pers_ref[6] = jnp.min(jnp.where(neq, POS3, 999))
 
             lcp = jnp.where(probe_ok,
