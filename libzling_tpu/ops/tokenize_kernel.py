@@ -164,11 +164,18 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
     match_limit = ilen - MATCH_MAX_LEN - 16
 
-    def lazy_probe(p, maxlen, depth, soff):
-        """MatchLazy (libzling_lz.cpp:291-316), dynamic depth."""
+    def lazy_probe(p, maxlen, depth, soff, node0=None):
+        """MatchLazy (libzling_lz.cpp:291-316), dynamic depth.
+
+        node0: optionally the pre-fetched hash head for p (read-only probe,
+        so fetching it early is semantics-free; issued above the main walk
+        its ~170-cycle latency hides under the walk's serial chain --
+        measured in tools/probe_tokenize_cost.py)."""
         lctx = sbyte(p - 1, soff)
         _, lslot = hash4(p, soff)
-        node0 = onehot(hash_ref, lctx * 64 + _srl(lslot, 7), lslot & 127)
+        if node0 is None:
+            node0 = onehot(hash_ref, lctx * 64 + _srl(lslot, 7),
+                           lslot & 127)
         probe_at = maxlen - 3
         want = u32le_slab(p + probe_at, soff)
 
@@ -212,6 +219,16 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         rmw(hash_ref, hrow, hslot & 127, head)
 
         searchable = (node0 != _NIL) & (node0 != head)
+
+        # prefetch lazy-probe-1's hash head now (after this position's
+        # insert, so it sees exactly the table MatchLazy would): the extract
+        # is independent of the walk's serial fetch chain, so its latency
+        # hides under the walk (tools/probe_tokenize_cost.py: -170 cyc on
+        # the lazy-taken path, ~free otherwise)
+        lctx1 = sbyte(ipos, soff)
+        _, lslot1 = hash4(ipos + 1, soff)
+        lnode1 = onehot(hash_ref, lctx1 * 64 + _srl(lslot1, 7),
+                        lslot1 & 127)
 
         def wbody(carry):
             i, node, prev_off, best_len, best_node, done = carry
@@ -263,14 +280,22 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         found = searchable & (best_len >= MATCH_MIN_LEN)
 
         pers_ref[7] = 0
+        lazy_gate = found & (best_len < MATCH_MIN_LEN_ENABLE_LAZY)
 
-        @pl.when(found & (best_len < MATCH_MIN_LEN_ENABLE_LAZY))
+        # short-circuit exactly as the reference does (libzling_lz.cpp:
+        # 271,276: `kLazyMatch1Depth > 0 && MatchLazy(...)`): probe 2 is
+        # SKIPPED, not just ignored, when lazy2 == 0 or probe 1 hit --
+        # a jnp.where here would execute both probes' ~500-cycle extract
+        # chains on every lazy-gated unit (probe_tokenize_cost.py)
+        @pl.when(lazy_gate & (lazy1 > 0))
         def _():
-            h1 = jnp.where(lazy1 > 0,
-                           lazy_probe(ipos + 1, best_len, lazy1, soff), False)
-            h2 = jnp.where((lazy2 > 0) & ~h1,
-                           lazy_probe(ipos + 2, best_len, lazy2, soff), False)
-            pers_ref[7] = (h1 | h2).astype(jnp.int32)
+            pers_ref[7] = lazy_probe(ipos + 1, best_len, lazy1, soff,
+                                     node0=lnode1).astype(jnp.int32)
+
+        @pl.when(lazy_gate & (lazy2 > 0) & (pers_ref[7] == 0))
+        def _():
+            pers_ref[7] = lazy_probe(ipos + 2, best_len, lazy2,
+                                     soff).astype(jnp.int32)
 
         found = found & (pers_ref[7] == 0)
         pers_ref[0] = found.astype(jnp.int32)
