@@ -4,8 +4,9 @@ Backends:
   "spec"   -- pure-Python executable specification (slow, always available)
   "native" -- C++ host engine (block-parallel, bit-exact)
   "jax"    -- JAX device pipeline (jitted XLA ops + Pallas entropy decode)
-  "tpu"    -- fully on-device decode via the Pallas entropy + resolve
-              kernels (libzling_tpu.device); encode via the jax pipeline
+  "tpu"    -- fully on-device codec: decode via the fused Pallas kernel,
+              encode via the Pallas ROLZ tokenizer on a single-device mesh
+              (libzling_tpu.device; canonical 16 MB geometry)
   "auto"   -- fastest available: native for host calls; use the
               ``libzling_tpu.codec`` module directly for device pipelines.
 """
@@ -48,7 +49,7 @@ def _register_backends() -> None:
     try:
         from . import device as _device
 
-        _BACKENDS_ENC["tpu"] = lambda d, lvl: _jax_codec.encode(d, lvl)
+        _BACKENDS_ENC["tpu"] = _device.encode
         _BACKENDS_DEC["tpu"] = _device.decode
     except Exception:  # pragma: no cover - jax unavailable
         pass

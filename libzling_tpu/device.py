@@ -34,6 +34,27 @@ def _auto_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def encode(data: bytes, level: int = 0) -> bytes:
+    """Encode on the accelerator: the Pallas ROLZ tokenizer runs on device
+    (ops/tokenize_kernel.py) along with relabel/histogram/bit-pack; the host
+    contributes only the exact Huffman length tables and container framing.
+
+    This is the reference's one-call ``Encode`` (src/libzling.h:44) as the
+    single-device case of the block-parallel mesh path, at the canonical
+    16 MB / 262144-token geometry -- streams are byte-identical to
+    ``spec.encode(data, level)``.
+    """
+    import jax
+
+    from .parallel import mesh as pmesh
+    from .tables import BLOCK_SIZE_IN, BLOCK_SIZE_ROLZ
+
+    mesh = pmesh.make_mesh(np.asarray(jax.devices()[:1]))
+    return pmesh.mesh_encode(data, level, mesh=mesh,
+                             block_size=BLOCK_SIZE_IN,
+                             max_tokens=BLOCK_SIZE_ROLZ, tokenizer="pallas")
+
+
 def decode(data: bytes, interpret: bool | None = None, *,
            fused: bool = True,
            slab_words: int = ek.SLAB_WORDS,

@@ -57,6 +57,7 @@ RING_ROWS = 256 * 32          # chain / slot: 256 ctx x 4096 nodes
 SLAB_WORDS = 2048             # sequential byte window in SMEM
 LOOKAHEAD = 300               # bytes needed beyond ipos (match + lazy probes)
 STAGE_UNITS = 512             # output units per DMA burst
+CACHE_LINES = 8192            # SMEM chain cache (direct-mapped, SoA)
 _NIL = 65535
 
 _LEVEL_TABLE = np.asarray([LEVEL_PARAMS[l] for l in sorted(LEVEL_PARAMS)],
@@ -70,6 +71,7 @@ def _srl(x, n):
 def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
                      outa_hbm, outb_hbm, stat_ref,
                      slab_ref, stg_a, stg_b, head_ref, mru_ref, pers_ref,
+                     ctag_ref, ccnt_ref, cs0_ref, cn1_ref, cs1_ref, cn2_ref,
                      block_vmem, hash_ref, chain_ref, slot_ref,
                      sem_in, sem_blk, sem_oa, sem_ob,
                      *, chunk_stride: int, max_chunks: int, block_rows: int):
@@ -114,6 +116,14 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         return 0
 
     jax.lax.fori_loop(0, 258, zhead, 0)
+
+    # chain-cache tags: invalidate per block (the SoA data words need no
+    # init -- they are only read behind a tag hit)
+    def zctag(i, _):
+        ctag_ref[0, i] = -1
+        return 0
+
+    jax.lax.fori_loop(0, CACHE_LINES, zctag, 0)
 
     def load_slab(soff):
         src = pl.multiple_of(soff, 128)
@@ -164,20 +174,58 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
     match_limit = ilen - MATCH_MAX_LEN - 16
 
-    def lazy_probe(p, maxlen, depth, soff, node0=None):
-        """MatchLazy (libzling_lz.cpp:291-316), dynamic depth.
+    # ---- SMEM chain cache -------------------------------------------------
+    # Direct-mapped over the bucket key (ctx, hslot).  A line remembers the
+    # key's newest insert: its unbounded per-ctx insert count (the node id is
+    # count & 4095, so the line also serves the hash head without touching
+    # VMEM), the node's slot word, its chain link, and a level-1 snapshot of
+    # the linked node's (slot, chain).  Staleness is exact, not heuristic:
+    # ring cell X written when the ctx count was c is overwritten by the
+    # insert at count c + ((X - (c & 4095)) & 4095 or 4096), so a snapshot is
+    # served only while the current count is below that.  Every find_match
+    # inserts, so the per-ctx count is head_ref's unbounded value.
 
-        node0: optionally the pre-fetched hash head for p (read-only probe,
-        so fetching it early is semantics-free; issued above the main walk
-        its ~170-cycle latency hides under the walk's serial chain --
-        measured in tools/probe_tokenize_cost.py)."""
+    def cache_line(key):
+        return (key ^ _srl(key, 8)) & (CACHE_LINES - 1)
+
+    def lazy_probe(p, maxlen, depth, soff):
+        """MatchLazy (libzling_lz.cpp:291-316), dynamic depth, cache-served.
+
+        Read-only probe: on a tag hit the hash head and the first node's
+        (slot, chain) come from the SMEM cache, so the common depth-1
+        probes (e0-e1) cost one VMEM extract (the want-compare) total."""
         lctx = sbyte(p - 1, soff)
         _, lslot = hash4(p, soff)
-        if node0 is None:
-            node0 = onehot(hash_ref, lctx * 64 + _srl(lslot, 7),
-                           lslot & 127)
+        key = lctx * 8192 + lslot
+        line = cache_line(key)
+        hit = ctag_ref[0, line] == key
+        e_cnt = ccnt_ref[0, line]
+
+        @pl.when(~hit)
+        def _():
+            pers_ref[13] = onehot(hash_ref, lctx * 64 + _srl(lslot, 7),
+                                  lslot & 127)
+
+        node0 = jnp.where(hit, e_cnt & 4095, pers_ref[13])
+        age = head_ref[0, lctx] - e_cnt
+        lvl0_ok = hit & (age < 4096)
         probe_at = maxlen - 3
         want = u32le_slab(p + probe_at, soff)
+        start_ok = node0 != _NIL
+
+        # step 0 unrolled: SMEM-served on a live cache hit
+        @pl.when(start_ok & ~lvl0_ok)
+        def _():
+            pers_ref[14] = onehot(slot_ref, lctx * 32 + _srl(node0, 7),
+                                  node0 & 127)
+            pers_ref[15] = onehot(chain_ref, lctx * 32 + _srl(node0, 7),
+                                  node0 & 127)
+
+        s0 = jnp.where(lvl0_ok, cs0_ref[0, line], pers_ref[14])
+        nxt0 = jnp.where(lvl0_ok, cn1_ref[0, line] & 0xFFFF, pers_ref[15])
+        off0 = s0 & 0xFFFFFF
+        hit0 = start_ok & (u32le_cand(off0 + probe_at) == want)
+        done0 = ~start_ok | hit0 | (depth <= 1) | (nxt0 == _NIL)
 
         def lbody(carry):
             i, node, prev_off, hit, done = carry
@@ -187,7 +235,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
             nxt_raw = onehot(chain_ref, lctx * 32 + _srl(node, 7),
                              node & 127)
             off = s & 0xFFFFFF
-            stale = (i > 0) & (prev_off <= off)
+            stale = prev_off <= off
             h = ~stale & (u32le_cand(off + probe_at) == want)
             hit = hit | h
             done = done | stale | h | (i + 1 >= depth)
@@ -195,40 +243,144 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
             done = done | (nxt == _NIL)
             return i + 1, jnp.where(done, node, nxt), off, hit, done
 
-        start_ok = node0 != _NIL
-        _, _, _, hit, _ = jax.lax.while_loop(
+        _, _, _, lhit, _ = jax.lax.while_loop(
             lambda c: ~c[4], lbody,
-            (jnp.int32(0), jnp.where(start_ok, node0, 0), jnp.int32(0),
-             jnp.bool_(False), ~start_ok))
-        return hit
+            (jnp.int32(1), jnp.where(done0, node0, nxt0), off0, hit0, done0))
+        return lhit
 
     def find_match(ipos, soff, depth, lazy1, lazy2):
         """MatchAndUpdate (libzling_lz.cpp:211-289): insert then walk.
+
+        Restructured around the SMEM chain cache:
+          * on a live tag hit the hash head, slot[node0], chain[node0] and
+            a level-1 snapshot come from SMEM -- the whole depth-2 walk
+            (e0) runs without a single VMEM extract;
+          * the probe-byte filter (libzling_lz.cpp:248) is dropped: len >
+            maxlen implies the probe byte matched, so evaluating the
+            funnel LCP directly on every check-hit selects the same
+            (maxnode, maxlen) and removes one dependent ~140-cycle
+            extract per hit;
+          * the maxlen == kMatchMaxLen early break (libzling_lz.cpp:
+            254-256) is dropped: replacement needs strictly-greater
+            length, impossible at the cap, so selection is unchanged and
+            the LCP extract no longer feeds walk control.
 
         Writes (found, mlen, midx) to pers_ref[0..2]."""
         ctx = sbyte(ipos - 1, soff)
         check, hslot = hash4(ipos, soff)
         hrow = ctx * 64 + _srl(hslot, 7)
-        node0 = onehot(hash_ref, hrow, hslot & 127)
+        key = ctx * 8192 + hslot
+        line = cache_line(key)
+        hit = ctag_ref[0, line] == key
+        e_cnt = ccnt_ref[0, line]
+        e_s0 = cs0_ref[0, line]
+        e_w1 = cn1_ref[0, line]
+        e_s1 = cs1_ref[0, line]
+        e_n2 = cn2_ref[0, line]
+        e_n1 = e_w1 & 0xFFFF
 
-        head = (head_ref[0, ctx] + 1) & 4095
-        head_ref[0, ctx] = head
+        @pl.when(~hit)
+        def _():
+            pers_ref[8] = onehot(hash_ref, hrow, hslot & 127)
+
+        node0 = jnp.where(hit, e_cnt & 4095, pers_ref[8])
+
+        cnt_now = head_ref[0, ctx] + 1
+        head_ref[0, ctx] = cnt_now
+        head = cnt_now & 4095
+        age = cnt_now - e_cnt
+        lvl0_ok = hit & (age < 4096)
+        lvl1_ok = lvl0_ok & (e_w1 >= (1 << 20)) & \
+            (age < ((e_n1 - (e_cnt & 4095)) & 4095))
+
+        # insert (reference order: head++, chain, slot, hash); the VMEM
+        # cells stay authoritative -- they back every cache miss
+        myslot = ipos | (check << 24)
         rmw(chain_ref, ctx * 32 + _srl(head, 7), head & 127, node0)
-        rmw(slot_ref, ctx * 32 + _srl(head, 7), head & 127,
-            ipos | (check << 24))
+        rmw(slot_ref, ctx * 32 + _srl(head, 7), head & 127, myslot)
         rmw(hash_ref, hrow, hslot & 127, head)
+
+        # refresh the line: level-0 is our own insert; level-1 is the old
+        # level-0 exactly when that snapshot still equals cells[node0]
+        ctag_ref[0, line] = key
+        ccnt_ref[0, line] = cnt_now
+        cs0_ref[0, line] = myslot
+        cn1_ref[0, line] = node0 | jnp.where(lvl0_ok, 1 << 20, 0)
+        cs1_ref[0, line] = jnp.where(lvl0_ok, e_s0, 0)
+        cn2_ref[0, line] = jnp.where(lvl0_ok, e_n1, 0)
 
         searchable = (node0 != _NIL) & (node0 != head)
 
-        # prefetch lazy-probe-1's hash head now (after this position's
-        # insert, so it sees exactly the table MatchLazy would): the extract
-        # is independent of the walk's serial fetch chain, so its latency
-        # hides under the walk (tools/probe_tokenize_cost.py: -170 cyc on
-        # the lazy-taken path, ~free otherwise)
-        lctx1 = sbyte(ipos, soff)
-        _, lslot1 = hash4(ipos + 1, soff)
-        lnode1 = onehot(hash_ref, lctx1 * 64 + _srl(lslot1, 7),
-                        lslot1 & 127)
+        # ---- walk steps 0 and 1 unrolled (SMEM-served on cache hits) ----
+        fetch0 = searchable & ~lvl0_ok
+
+        @pl.when(fetch0)
+        def _():
+            pers_ref[9] = onehot(slot_ref, ctx * 32 + _srl(node0, 7),
+                                 node0 & 127)
+            pers_ref[10] = onehot(chain_ref, ctx * 32 + _srl(node0, 7),
+                                  node0 & 127)
+            # repair the line's level-1 from the fetched cells so the next
+            # same-key lookup walks depth 2 from SMEM
+            cn1_ref[0, line] = node0 | (1 << 20)
+
+        s0 = jnp.where(lvl0_ok, e_s0, pers_ref[9])
+        nxt0 = jnp.where(lvl0_ok, e_n1, pers_ref[10])
+
+        @pl.when(fetch0)
+        def _():
+            cs1_ref[0, line] = pers_ref[9]
+            cn2_ref[0, line] = pers_ref[10]
+
+        off0 = s0 & 0xFFFFFF
+        check0 = searchable & ((_srl(s0, 24) & 255) == check)
+        done1 = ~searchable | (depth < 2) | (nxt0 == _NIL)
+        node1 = jnp.where(done1, node0, nxt0)
+
+        fetch1 = ~done1 & ~lvl1_ok
+
+        @pl.when(fetch1)
+        def _():
+            pers_ref[11] = onehot(slot_ref, ctx * 32 + _srl(node1, 7),
+                                  node1 & 127)
+            pers_ref[12] = onehot(chain_ref, ctx * 32 + _srl(node1, 7),
+                                  node1 & 127)
+
+        s1 = jnp.where(lvl1_ok, e_s1, pers_ref[11])
+        nxt1 = jnp.where(lvl1_ok, e_n2, pers_ref[12])
+        off1 = s1 & 0xFFFFFF
+        done1b = done1 | (off0 <= off1)
+        check1 = ~done1b & ((_srl(s1, 24) & 255) == check)
+
+        # direct funnel LCP on check-hits; the ipos-side window is shared
+        # and the two extracts are independent (they overlap in flight)
+        fip = funnel3(ipos)
+
+        @pl.when(check0)
+        def _():
+            neq = fip != funnel3(off0)
+            pers_ref[5] = jnp.min(jnp.where(neq, POS3, 999))
+
+        @pl.when(check1)
+        def _():
+            neq = fip != funnel3(off1)
+            pers_ref[6] = jnp.min(jnp.where(neq, POS3, 999))
+
+        lcp0 = jnp.where(check0, jnp.minimum(pers_ref[5], MATCH_MAX_LEN), 0)
+        lcp0 = jnp.where(lcp0 >= MATCH_MIN_LEN, lcp0, 0)
+        lcp1 = jnp.where(check1, jnp.minimum(pers_ref[6], MATCH_MAX_LEN), 0)
+        lcp1 = jnp.where(lcp1 >= MATCH_MIN_LEN, lcp1, 0)
+
+        best_len = jnp.int32(MATCH_MIN_LEN - 1)
+        best_node = jnp.int32(0)
+        b0 = lcp0 > best_len
+        best_len = jnp.where(b0, lcp0, best_len)
+        best_node = jnp.where(b0, node0, best_node)
+        b1 = lcp1 > best_len
+        best_len = jnp.where(b1, lcp1, best_len)
+        best_node = jnp.where(b1, node1, best_node)
+
+        done2 = done1b | (depth < 3) | (nxt1 == _NIL)
 
         def wbody(carry):
             i, node, prev_off, best_len, best_node, done = carry
@@ -238,25 +390,12 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
             nxt_raw = onehot(chain_ref, ctx * 32 + _srl(node, 7),
                              node & 127)
             off = s & 0xFFFFFF
-            ncheck = _srl(s, 24) & 255
-            done = done | ((i > 0) & (prev_off <= off))
-
-            probe_gate = ~done & (ncheck == check)
-
-            @pl.when(probe_gate)
-            def _():
-                pb = off + best_len
-                pers_ref[5] = onehot(block_vmem, _srl(pb, 7), pb & 127)
-
-            probe_ok = probe_gate & \
-                (pers_ref[5] == sbyte(ipos + best_len, soff))
+            done = done | (prev_off <= off)
+            probe_ok = ~done & ((_srl(s, 24) & 255) == check)
 
             @pl.when(probe_ok)
             def _():
-                # both funnel windows built only on a probe hit (the common
-                # miss path pays nothing; DESIGN.md section 0 vector-issue
-                # costs from the scalar loop are per-op)
-                neq = funnel3(ipos) != funnel3(off)
+                neq = fip != funnel3(off)
                 pers_ref[6] = jnp.min(jnp.where(neq, POS3, 999))
 
             lcp = jnp.where(probe_ok,
@@ -265,8 +404,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
             better = (lcp > best_len) & ~done
             best_node = jnp.where(better, node, best_node)
             best_len = jnp.where(better, lcp, best_len)
-            done = done | (best_len == MATCH_MAX_LEN) | (i + 1 >= depth)
-
+            done = done | (i + 1 >= depth)
             nxt = jnp.where(done, node, nxt_raw)
             done = done | (nxt == _NIL)
             return (i + 1, jnp.where(done, node, nxt), off, best_len,
@@ -274,8 +412,8 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
         _, _, _, best_len, best_node, _ = jax.lax.while_loop(
             lambda c: ~c[5], wbody,
-            (jnp.int32(0), jnp.where(searchable, node0, 0), jnp.int32(0),
-             jnp.int32(MATCH_MIN_LEN - 1), jnp.int32(0), ~searchable))
+            (jnp.int32(2), jnp.where(done2, node1, nxt1), off1, best_len,
+             best_node, done2))
 
         found = searchable & (best_len >= MATCH_MIN_LEN)
 
@@ -285,12 +423,12 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         # short-circuit exactly as the reference does (libzling_lz.cpp:
         # 271,276: `kLazyMatch1Depth > 0 && MatchLazy(...)`): probe 2 is
         # SKIPPED, not just ignored, when lazy2 == 0 or probe 1 hit --
-        # a jnp.where here would execute both probes' ~500-cycle extract
-        # chains on every lazy-gated unit (probe_tokenize_cost.py)
+        # a jnp.where here would execute both probes' extract chains on
+        # every lazy-gated unit (probe_tokenize_cost.py)
         @pl.when(lazy_gate & (lazy1 > 0))
         def _():
-            pers_ref[7] = lazy_probe(ipos + 1, best_len, lazy1, soff,
-                                     node0=lnode1).astype(jnp.int32)
+            pers_ref[7] = lazy_probe(ipos + 1, best_len, lazy1,
+                                     soff).astype(jnp.int32)
 
         @pl.when(lazy_gate & (lazy2 > 0) & (pers_ref[7] == 0))
         def _():
@@ -460,7 +598,13 @@ def _tokenize_call(meta, block_flat, interpret: bool = False,
             pltpu.SMEM((1, STAGE_UNITS + 8), jnp.int32),
             pltpu.SMEM((1, 258), jnp.int32),
             pltpu.SMEM((1, 516 + 2), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((16,), jnp.int32),
+            pltpu.SMEM((1, CACHE_LINES), jnp.int32),
+            pltpu.SMEM((1, CACHE_LINES), jnp.int32),
+            pltpu.SMEM((1, CACHE_LINES), jnp.int32),
+            pltpu.SMEM((1, CACHE_LINES), jnp.int32),
+            pltpu.SMEM((1, CACHE_LINES), jnp.int32),
+            pltpu.SMEM((1, CACHE_LINES), jnp.int32),
             pltpu.VMEM((block_rows, 128), jnp.int32),
             pltpu.VMEM((HASH_ROWS, 128), jnp.int32),
             pltpu.VMEM((RING_ROWS, 128), jnp.int32),

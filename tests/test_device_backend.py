@@ -117,6 +117,19 @@ def test_api_tpu_backend_roundtrip():
     assert z.decode(stream, backend="tpu") == data
 
 
+def test_api_tpu_backend_encode():
+    # encode(backend="tpu"): the Pallas tokenizer lane on a 1-device mesh at
+    # canonical geometry produces the canonical stream (interpreted on CPU)
+    import libzling_tpu as z
+
+    rng = np.random.default_rng(5)
+    data = (b"tpu encode lane through the public api " * 40
+            + bytes(rng.integers(0, 256, 500, dtype=np.uint8)))
+    stream = z.encode(data, 0, backend="tpu")
+    assert stream == spec.encode(data, 0)
+    assert z.decode(stream, backend="tpu") == data
+
+
 def test_fused_decode_matches():
     # the single-pass fused kernel must agree with the two-kernel pipeline
     rng = np.random.default_rng(31)
