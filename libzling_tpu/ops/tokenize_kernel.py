@@ -57,7 +57,7 @@ RING_ROWS = 256 * 32          # chain / slot: 256 ctx x 4096 nodes
 SLAB_WORDS = 2048             # sequential byte window in SMEM
 LOOKAHEAD = 300               # bytes needed beyond ipos (match + lazy probes)
 STAGE_UNITS = 512             # output units per DMA burst
-CACHE_LINES = 8192            # SMEM chain cache (direct-mapped, SoA)
+CACHE_LINES = 16384           # SMEM chain cache (direct-mapped, SoA, 384 KB)
 _NIL = 65535
 
 _LEVEL_TABLE = np.asarray([LEVEL_PARAMS[l] for l in sorted(LEVEL_PARAMS)],
@@ -188,33 +188,50 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
     def cache_line(key):
         return (key ^ _srl(key, 8)) & (CACHE_LINES - 1)
 
-    def lazy_probe(p, maxlen, depth, soff):
+    def lazy_probe(p, maxlen, depth, soff, pre=None):
         """MatchLazy (libzling_lz.cpp:291-316), dynamic depth, cache-served.
 
         Read-only probe: on a tag hit the hash head and the first node's
         (slot, chain) come from the SMEM cache, so the common depth-1
-        probes (e0-e1) cost one VMEM extract (the want-compare) total."""
+        probes (e0-e1) cost one VMEM extract (the want-compare) total.
+
+        pre: optionally (hit, lvl0_ok, cached node0, line) computed BEFORE
+        the main walk, with the head / slot+chain transfers already issued
+        into pers_ref[13] / [14..15] so their latency hides under the walk
+        (the probe is read-only and sees exactly the post-insert table, so
+        hoisting is semantics-free -- probed in round 2)."""
         lctx = sbyte(p - 1, soff)
-        _, lslot = hash4(p, soff)
-        key = lctx * 8192 + lslot
-        line = cache_line(key)
-        hit = ctag_ref[0, line] == key
-        e_cnt = ccnt_ref[0, line]
+        if pre is None:
+            _, lslot = hash4(p, soff)
+            key = lctx * 8192 + lslot
+            line = cache_line(key)
+            hit = ctag_ref[0, line] == key
+            e_cnt = ccnt_ref[0, line]
 
-        @pl.when(~hit)
-        def _():
-            pers_ref[13] = onehot(hash_ref, lctx * 64 + _srl(lslot, 7),
-                                  lslot & 127)
+            @pl.when(~hit)
+            def _():
+                pers_ref[13] = onehot(hash_ref, lctx * 64 + _srl(lslot, 7),
+                                      lslot & 127)
 
-        node0 = jnp.where(hit, e_cnt & 4095, pers_ref[13])
-        age = head_ref[0, lctx] - e_cnt
-        lvl0_ok = hit & (age < 4096)
+            node0_c = e_cnt & 4095
+            lvl0_ok = hit & ((head_ref[0, lctx] - e_cnt) < 4096)
+            prefetched = False
+        else:
+            hit, lvl0_ok, node0_c, line = pre
+            prefetched = True
+
+        node0 = jnp.where(hit, node0_c, pers_ref[13])
         probe_at = maxlen - 3
         want = u32le_slab(p + probe_at, soff)
         start_ok = node0 != _NIL
 
-        # step 0 unrolled: SMEM-served on a live cache hit
-        @pl.when(start_ok & ~lvl0_ok)
+        # step 0 unrolled: SMEM-served on a live hit; otherwise the fetch
+        # either already happened (prefetched miss path) or issues here
+        need_fetch = start_ok & ~lvl0_ok
+        if prefetched:
+            need_fetch = need_fetch & ~hit
+
+        @pl.when(need_fetch)
         def _():
             pers_ref[14] = onehot(slot_ref, lctx * 32 + _srl(node0, 7),
                                   node0 & 127)
@@ -311,6 +328,33 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
         searchable = (node0 != _NIL) & (node0 != head)
 
+        # ---- lazy-probe-1 prefetch: the probe is read-only and sees
+        # exactly the post-insert table, so its serial VMEM transfers are
+        # issued HERE -- their ~140-cycle latencies hide under the main
+        # walk's fetch chain (lazy1 fires on ~80% of e0 units; measured in
+        # tools/sweep_tokenize.py counters)
+        lazy_on = lazy1 > 0
+        lctx1 = sbyte(ipos, soff)
+        _, lslot1 = hash4(ipos + 1, soff)
+        lkey1 = lctx1 * 8192 + lslot1
+        lline1 = cache_line(lkey1)
+        lhit1 = ctag_ref[0, lline1] == lkey1
+        le_cnt1 = ccnt_ref[0, lline1]
+        llvl0_1 = lhit1 & ((head_ref[0, lctx1] - le_cnt1) < 4096)
+        lnode0_1 = le_cnt1 & 4095
+
+        @pl.when(lazy_on & ~lhit1)
+        def _():
+            pers_ref[13] = onehot(hash_ref, lctx1 * 64 + _srl(lslot1, 7),
+                                  lslot1 & 127)
+
+        @pl.when(lazy_on & lhit1 & ~llvl0_1)
+        def _():
+            pers_ref[14] = onehot(slot_ref, lctx1 * 32 + _srl(lnode0_1, 7),
+                                  lnode0_1 & 127)
+            pers_ref[15] = onehot(chain_ref, lctx1 * 32 + _srl(lnode0_1, 7),
+                                  lnode0_1 & 127)
+
         # ---- walk steps 0 and 1 unrolled (SMEM-served on cache hits) ----
         fetch0 = searchable & ~lvl0_ok
 
@@ -352,19 +396,27 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         done1b = done1 | (off0 <= off1)
         check1 = ~done1b & ((_srl(s1, 24) & 255) == check)
 
-        # direct funnel LCP on check-hits; the ipos-side window is shared
-        # and the two extracts are independent (they overlap in flight)
-        fip = funnel3(ipos)
-
-        @pl.when(check0)
+        # direct funnel LCP on check-hits.  ONE region for both steps: the
+        # two min extracts are independent, and issuing them from the same
+        # region lets their ~140-cycle transfer latencies overlap (separate
+        # pl.when regions serialize them); when only one step check-hits,
+        # the spare window build is wasted vector issue -- measured cheaper
+        # than the serialization (tools/sweep_tokenize.py)
+        @pl.when(check0 | check1)
         def _():
-            neq = fip != funnel3(off0)
-            pers_ref[5] = jnp.min(jnp.where(neq, POS3, 999))
+            fip = funnel3(ipos)
+            neq0 = fip != funnel3(jnp.where(check0, off0, 0))
+            neq1 = fip != funnel3(jnp.where(check1, off1, 0))
+            pers_ref[5] = jnp.min(jnp.where(neq0, POS3, 999))
+            pers_ref[6] = jnp.min(jnp.where(neq1, POS3, 999))
 
-        @pl.when(check1)
-        def _():
-            neq = fip != funnel3(off1)
-            pers_ref[6] = jnp.min(jnp.where(neq, POS3, 999))
+        # hit-rate counters (stat row 7; reference debug-counter analog,
+        # src/libzling_debug.h): attempts / cache levels / check hits
+        stat_ref[0, 7, 0] += 1
+        stat_ref[0, 7, 1] += lvl0_ok.astype(jnp.int32)
+        stat_ref[0, 7, 2] += lvl1_ok.astype(jnp.int32)
+        stat_ref[0, 7, 3] += check0.astype(jnp.int32)
+        stat_ref[0, 7, 4] += check1.astype(jnp.int32)
 
         lcp0 = jnp.where(check0, jnp.minimum(pers_ref[5], MATCH_MAX_LEN), 0)
         lcp0 = jnp.where(lcp0 >= MATCH_MIN_LEN, lcp0, 0)
@@ -381,6 +433,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         best_node = jnp.where(b1, node1, best_node)
 
         done2 = done1b | (depth < 3) | (nxt1 == _NIL)
+        stat_ref[0, 7, 5] += (~done2).astype(jnp.int32)
 
         def wbody(carry):
             i, node, prev_off, best_len, best_node, done = carry
@@ -395,7 +448,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
             @pl.when(probe_ok)
             def _():
-                neq = fip != funnel3(off)
+                neq = funnel3(ipos) != funnel3(off)
                 pers_ref[6] = jnp.min(jnp.where(neq, POS3, 999))
 
             lcp = jnp.where(probe_ok,
@@ -425,10 +478,13 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         # SKIPPED, not just ignored, when lazy2 == 0 or probe 1 hit --
         # a jnp.where here would execute both probes' extract chains on
         # every lazy-gated unit (probe_tokenize_cost.py)
+        stat_ref[0, 7, 6] += (lazy_gate & (lazy1 > 0)).astype(jnp.int32)
+
         @pl.when(lazy_gate & (lazy1 > 0))
         def _():
-            pers_ref[7] = lazy_probe(ipos + 1, best_len, lazy1,
-                                     soff).astype(jnp.int32)
+            pers_ref[7] = lazy_probe(
+                ipos + 1, best_len, lazy1, soff,
+                pre=(lhit1, llvl0_1, lnode0_1, lline1)).astype(jnp.int32)
 
         @pl.when(lazy_gate & (lazy2 > 0) & (pers_ref[7] == 0))
         def _():
@@ -436,6 +492,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
                                      soff).astype(jnp.int32)
 
         found = found & (pers_ref[7] == 0)
+        stat_ref[0, 7, 7] += found.astype(jnp.int32)
         pers_ref[0] = found.astype(jnp.int32)
         pers_ref[1] = best_len
         pers_ref[2] = (head - best_node) & 4095
@@ -570,6 +627,8 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 def _tokenize_call(meta, block_flat, interpret: bool = False,
                    chunk_stride: int = 0, max_chunks: int = 0,
                    block_rows: int = 0):
+    # the host lane ships bytes as u8 (4x less tunnel traffic); widen here
+    block_flat = block_flat.astype(jnp.int32)
     block2d = block_flat.reshape(block_rows, 128)
     kernel = pl.pallas_call(
         functools.partial(_tokenize_kernel, chunk_stride=chunk_stride,
@@ -685,18 +744,26 @@ def tokenize_block(block: bytes | np.ndarray, levels, max_tokens: int,
     meta[0, 3, :max_chunks] = lv[:, 0]
     meta[0, 4, :max_chunks] = lv[:, 1]
     meta[0, 5, :max_chunks] = lv[:, 2]
-    flat = np.zeros(block_rows * 128, np.int32)
+    flat = np.zeros(block_rows * 128, np.uint8)
     flat[:ilen] = buf
     outa, outb, stat = _tokenize_call(
         jnp.asarray(meta), jnp.asarray(flat[None]),
         interpret=interpret, chunk_stride=chunk_stride,
         max_chunks=max_chunks, block_rows=block_rows)
-    a = np.asarray(outa).reshape(max_chunks, chunk_stride)[:, :chunk_units]
-    b = np.asarray(outb).reshape(max_chunks, chunk_stride)[:, :chunk_units]
+    stat = np.asarray(stat)
+    nc = max(int(stat[0, 6, 0]), 1)
+    # fetch only the chunks actually produced (the full buffers are sized
+    # for max_chunks; pulling them through the tunnel dominates e2e time)
+    a = np.asarray(outa[0, : nc * chunk_stride]) \
+        .reshape(nc, chunk_stride)[:, :chunk_units]
+    b = np.asarray(outb[0, : nc * chunk_stride]) \
+        .reshape(nc, chunk_stride)[:, :chunk_units]
+    pad = ((0, max_chunks - nc), (0, 0))
+    a = np.pad(a, pad)
+    b = np.pad(b, pad)
     sym = a & 1023
     kind = (a >> 10) & 3
     idx = (a >> 14) & 4095
-    stat = np.asarray(stat)
     return (sym, idx, b, kind, stat[0, 0, :max_chunks],
             stat[0, 1, :max_chunks], stat[0, 2, :max_chunks],
             int(stat[0, 6, 0]), int(stat[0, 6, 1]))

@@ -67,24 +67,12 @@ def distributed_encode(data: bytes, level: int,
     Every process must call this with the same arguments and receives the
     same stream (byte-identical to ``spec.encode`` at equal geometry).
 
-    elastic=True wraps the device path in a host-side recovery lane: if the
-    accelerator run fails (lost chip, wedged runtime), the stream is
-    re-encoded on the host via the executable spec — identical bytes, since
-    blocks are pure functions of (bytes, carried MTF/level state).
+    elastic=True enables block-group-granular recovery (mesh.py): a device
+    failure mid-stream re-encodes only the FAILED group on the host from its
+    carried (MTF, level) snapshot — identical bytes, completed groups'
+    device work kept.  Recoveries are counted as ``enc.group_failover``.
     """
     mesh = global_block_mesh()
-    if not elastic:
-        return pmesh.mesh_encode(data, level, mesh=mesh,
-                                 block_size=block_size,
-                                 max_tokens=max_tokens, tokenizer=tokenizer)
-    try:
-        return pmesh.mesh_encode(data, level, mesh=mesh,
-                                 block_size=block_size,
-                                 max_tokens=max_tokens, tokenizer=tokenizer)
-    except Exception:
-        from .. import spec
-        from ..utils import metrics
-
-        metrics.registry.count("dist.device_failover")
-        return spec.encode(data, level, block_size=block_size,
-                           max_tokens=max_tokens)
+    return pmesh.mesh_encode(data, level, mesh=mesh, block_size=block_size,
+                             max_tokens=max_tokens, tokenizer=tokenizer,
+                             elastic=elastic)

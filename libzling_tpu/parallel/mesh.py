@@ -229,13 +229,60 @@ def _payload_bytes(bits: int) -> int:
     return (bits // 32) * 4 + (bits % 32 + 7) // 8
 
 
+def _host_encode_group(gblocks, gilens, level: int, entry_level: int,
+                       r2s: np.ndarray, s2r: np.ndarray, max_tokens: int):
+    """Elastic-recovery lane: re-encode ONE group of blocks on the host from
+    the carried (MTF, level) snapshot -- identical bytes, since blocks are
+    pure functions of (bytes, carried state) (src/libzling.cpp:187-284).
+
+    Returns (stream bytes for the group, r2s', s2r', exit level).
+    """
+    from .. import spec
+
+    enc = spec.RolzEncoder()
+    for c in range(256):
+        enc.mtf[c].table = [int(v) for v in r2s[c]]
+        enc.mtf[c].index = [int(v) for v in s2r[c]]
+    out = bytearray()
+    current_level = entry_level
+    for blk, ilen in zip(gblocks, gilens):
+        if ilen == 0:
+            continue
+        block = bytearray(blk[:ilen].tobytes())
+        block.extend(bytes(spec.SENTINEL_LEN))
+        enc.reset()
+        encpos = 0
+        while encpos < ilen:
+            out.append(1)
+            encpos_old = encpos
+            tokens, encpos = enc.encode_chunk(current_level, block, ilen,
+                                              encpos, max_tokens)
+            payload = spec.huffman_encode_chunk(tokens)
+            olen = len(payload)
+            current_level = 0 if olen / (encpos - encpos_old + 1) > 0.95 \
+                else level
+            out.extend(encpos.to_bytes(4, "big"))
+            out.extend(len(tokens).to_bytes(4, "big"))
+            out.extend(olen.to_bytes(4, "big"))
+            out.extend(payload)
+        out.append(0)
+    r2s2 = np.asarray([enc.mtf[c].table for c in range(256)], np.int32)
+    s2r2 = np.asarray([enc.mtf[c].index for c in range(256)], np.int32)
+    return bytes(out), r2s2, s2r2, current_level
+
+
 def mesh_encode(data: bytes, level: int, mesh: Mesh | None = None,
                 block_size: int = BLOCK_SIZE_IN,
                 max_tokens: int = BLOCK_SIZE_ROLZ,
-                tokenizer: str = "xla") -> bytes:
+                tokenizer: str = "xla", elastic: bool = False) -> bytes:
     """Encode with blocks sharded over the mesh; byte-identical to
     ``spec.encode(data, level, block_size=block_size, max_tokens=max_tokens)``
     (canonical reference stream at default geometry).
+
+    elastic=True adds block-group-granular recovery: if the device path
+    fails mid-stream (lost chip, wedged runtime), only the FAILED group is
+    re-encoded on the host from its carried (MTF, level) snapshot -- all
+    completed groups' device work is kept, and the stream is unchanged.
     """
     if level not in LEVEL_PARAMS:
         raise ValueError("level must be 0..6")
@@ -276,79 +323,113 @@ def mesh_encode(data: bytes, level: int, mesh: Mesh | None = None,
         sched[0, 0] = current_level
         r2s_snap, s2r_snap = r2s, s2r
 
-        while True:
-            lv = shard_put(sched, mesh, P(AXIS, None))
-            (sym2, idx, valid, nunits, ntoks, encpos, n_chunks, freq1, freq2,
-             r2s_new, s2r_new) = parallel_encode_step(
-                blocks, ilens, lv, r2s_snap, s2r_snap, mesh=mesh,
+        try:
+            out_g, expected, r2s, s2r = _encode_group_device(
+                blocks, ilens, sched, r2s_snap, s2r_snap, gilens, group,
+                nblocks, level, current_level, mesh=mesh,
                 max_tokens=max_tokens, max_chunks=max_chunks,
-                chunk_units=chunk_units, tokenizer=tokenizer)
-            nchunks_np = host_gather(n_chunks)
-            f1 = host_gather(freq1).reshape(D * max_chunks, HUFFMAN_CODES_1)
-            f2 = host_gather(freq2).reshape(D * max_chunks, HUFFMAN_CODES_2)
-            len1 = hops.exact_length_tables(f1, HUFFMAN_MAX_LEN_1) \
-                .reshape(D, max_chunks, HUFFMAN_CODES_1)
-            len2 = hops.exact_length_tables(f2, HUFFMAN_MAX_LEN_2) \
-                .reshape(D, max_chunks, HUFFMAN_CODES_2)
-            enc1 = hops.canonical_codes(
-                jnp.asarray(len1.reshape(-1, HUFFMAN_CODES_1)),
-                HUFFMAN_MAX_LEN_1).reshape(D, max_chunks, HUFFMAN_CODES_1)
-            enc2 = hops.canonical_codes(
-                jnp.asarray(len2.reshape(-1, HUFFMAN_CODES_2)),
-                HUFFMAN_MAX_LEN_2).reshape(D, max_chunks, HUFFMAN_CODES_2)
-            words, bits = parallel_pack_step(
-                sym2, idx, valid,
-                shard_put(len1, mesh, P(AXIS, None, None)),
-                shard_put(np.asarray(enc1), mesh, P(AXIS, None, None)),
-                shard_put(len2, mesh, P(AXIS, None, None)),
-                shard_put(np.asarray(enc2), mesh, P(AXIS, None, None)),
-                mesh=mesh, out_words=out_words)
-            bits_np = host_gather(bits)
-            encpos_np = host_gather(encpos)
+                chunk_units=chunk_units, tokenizer=tokenizer,
+                out_words=out_words, header=header)
+        except Exception:
+            if not elastic:
+                raise
+            from ..utils import metrics
 
-            # serial schedule validation (the adaptive drop couples chunk
-            # k+1 to chunk k across block boundaries, libzling.cpp:261-266).
-            # The first mismatch is fixed exactly (its prefix is valid, so
-            # its tokens are final); later chunks are re-predicted from the
-            # realized ratios as an approximation and re-validated on the
-            # next pass — converges because the true first-mismatch position
-            # advances strictly each iteration, and typically in <= 2 passes.
-            expected = current_level
-            any_fix = False
-            for d in range(D):
-                if group + d >= nblocks or gilens[d] == 0:
-                    continue
-                prev_end = 0
-                for c in range(int(nchunks_np[d])):
-                    if int(sched[d, c]) != expected:
-                        sched[d, c] = expected
-                        any_fix = True
-                    ep = int(encpos_np[d, c])
-                    olen = header + _payload_bytes(int(bits_np[d, c]))
-                    expected = 0 if olen / (ep - prev_end + 1) > 0.95 else level
-                    prev_end = ep
-                # chunk boundaries may shift after fixes: predict the tail
-                sched[d, int(nchunks_np[d]):] = expected
-            if not any_fix:
-                break
+            metrics.registry.count("enc.group_failover")
+            out_g, r2s_np, s2r_np, expected = _host_encode_group(
+                gblocks, gilens, level, current_level,
+                host_gather(r2s_snap), host_gather(s2r_snap), max_tokens)
+            r2s, s2r = jnp.asarray(r2s_np), jnp.asarray(s2r_np)
+        out.extend(out_g)
+        current_level = expected
+    return bytes(out)
 
-        # ---- host: ordered gather + container framing
-        words_np = host_gather(words)
-        ntoks_np = host_gather(ntoks)
+
+def _encode_group_device(blocks, ilens, sched, r2s_snap, s2r_snap, gilens,
+                         group, nblocks, level, current_level, *, mesh,
+                         max_tokens, max_chunks, chunk_units, tokenizer,
+                         out_words, header):
+    """Device encode of one block group (tokenize + carry + tables + pack +
+    schedule validation + framing).  Returns (group bytes, exit level,
+    carried r2s, s2r)."""
+    D = mesh.devices.size
+    passes = 0
+    while True:
+        passes += 1
+        lv = shard_put(sched, mesh, P(AXIS, None))
+        (sym2, idx, valid, nunits, ntoks, encpos, n_chunks, freq1, freq2,
+         r2s_new, s2r_new) = parallel_encode_step(
+            blocks, ilens, lv, r2s_snap, s2r_snap, mesh=mesh,
+            max_tokens=max_tokens, max_chunks=max_chunks,
+            chunk_units=chunk_units, tokenizer=tokenizer)
+        nchunks_np = host_gather(n_chunks)
+        f1 = host_gather(freq1).reshape(D * max_chunks, HUFFMAN_CODES_1)
+        f2 = host_gather(freq2).reshape(D * max_chunks, HUFFMAN_CODES_2)
+        len1 = hops.exact_length_tables(f1, HUFFMAN_MAX_LEN_1) \
+            .reshape(D, max_chunks, HUFFMAN_CODES_1)
+        len2 = hops.exact_length_tables(f2, HUFFMAN_MAX_LEN_2) \
+            .reshape(D, max_chunks, HUFFMAN_CODES_2)
+        enc1 = hops.canonical_codes(
+            jnp.asarray(len1.reshape(-1, HUFFMAN_CODES_1)),
+            HUFFMAN_MAX_LEN_1).reshape(D, max_chunks, HUFFMAN_CODES_1)
+        enc2 = hops.canonical_codes(
+            jnp.asarray(len2.reshape(-1, HUFFMAN_CODES_2)),
+            HUFFMAN_MAX_LEN_2).reshape(D, max_chunks, HUFFMAN_CODES_2)
+        words, bits = parallel_pack_step(
+            sym2, idx, valid,
+            shard_put(len1, mesh, P(AXIS, None, None)),
+            shard_put(np.asarray(enc1), mesh, P(AXIS, None, None)),
+            shard_put(len2, mesh, P(AXIS, None, None)),
+            shard_put(np.asarray(enc2), mesh, P(AXIS, None, None)),
+            mesh=mesh, out_words=out_words)
+        bits_np = host_gather(bits)
+        encpos_np = host_gather(encpos)
+
+        # serial schedule validation (the adaptive drop couples chunk
+        # k+1 to chunk k across block boundaries, libzling.cpp:261-266).
+        # The first mismatch is fixed exactly (its prefix is valid, so
+        # its tokens are final); later chunks are re-predicted from the
+        # realized ratios as an approximation and re-validated on the
+        # next pass — converges because the true first-mismatch position
+        # advances strictly each iteration, and typically in <= 2 passes.
+        expected = current_level
+        any_fix = False
         for d in range(D):
             if group + d >= nblocks or gilens[d] == 0:
                 continue
             prev_end = 0
             for c in range(int(nchunks_np[d])):
-                payload = hops.payload_from_words(
-                    words_np[d, c], int(bits_np[d, c]), len1[d, c], len2[d, c])
-                out.append(1)
-                out.extend(int(encpos_np[d, c]).to_bytes(4, "big"))
-                out.extend(int(ntoks_np[d, c]).to_bytes(4, "big"))
-                out.extend(len(payload).to_bytes(4, "big"))
-                out.extend(payload)
-                prev_end = int(encpos_np[d, c])
-            out.append(0)
-        current_level = expected
-        r2s, s2r = r2s_new, s2r_new
-    return bytes(out)
+                if int(sched[d, c]) != expected:
+                    sched[d, c] = expected
+                    any_fix = True
+                ep = int(encpos_np[d, c])
+                olen = header + _payload_bytes(int(bits_np[d, c]))
+                expected = 0 if olen / (ep - prev_end + 1) > 0.95 else level
+                prev_end = ep
+            # chunk boundaries may shift after fixes: predict the tail
+            sched[d, int(nchunks_np[d]):] = expected
+        if not any_fix:
+            break
+
+    if passes > 1:
+        from ..utils import metrics
+
+        metrics.registry.count("enc.schedule_mispredicts", passes - 1)
+
+    # ---- host: ordered gather + container framing
+    out = bytearray()
+    words_np = host_gather(words)
+    ntoks_np = host_gather(ntoks)
+    for d in range(D):
+        if group + d >= nblocks or gilens[d] == 0:
+            continue
+        for c in range(int(nchunks_np[d])):
+            payload = hops.payload_from_words(
+                words_np[d, c], int(bits_np[d, c]), len1[d, c], len2[d, c])
+            out.append(1)
+            out.extend(int(encpos_np[d, c]).to_bytes(4, "big"))
+            out.extend(int(ntoks_np[d, c]).to_bytes(4, "big"))
+            out.extend(len(payload).to_bytes(4, "big"))
+            out.extend(payload)
+        out.append(0)
+    return bytes(out), expected, r2s_new, s2r_new

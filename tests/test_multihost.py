@@ -46,18 +46,34 @@ def test_two_process_mesh_encode(tmp_path):
     assert s0 == s1 and len(s0) > 0
 
 
-def test_elastic_failover_to_host(monkeypatch):
-    # a device-path failure must fall back to the host spec encoder with
-    # IDENTICAL canonical bytes (blocks are pure functions of bytes+state)
+def test_elastic_group_recovery(monkeypatch):
+    # a mid-stream device failure must re-encode ONLY the failed group from
+    # its carried (MTF, level) snapshot: canonical bytes, completed groups'
+    # device work kept, later groups back on the device path
+    import numpy as np
+
     from libzling_tpu import spec
     from libzling_tpu.parallel import distributed as dist, mesh as pmesh
+    from libzling_tpu.utils import metrics
 
-    def boom(*a, **k):
-        raise RuntimeError("injected device loss")
+    real = pmesh.parallel_encode_step
+    calls = {"n": 0}
 
-    monkeypatch.setattr(pmesh, "mesh_encode", boom)
-    data = b"elastic failover " * 200
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected device loss")
+        return real(*a, **k)
+
+    monkeypatch.setattr(pmesh, "parallel_encode_step", flaky)
+    metrics.registry.reset()
+    rng = np.random.default_rng(3)
+    data = (b"elastic group recovery " * 400
+            + bytes(rng.integers(0, 256, 3000, dtype=np.uint8))) * 2
     out = dist.distributed_encode(data, level=1, block_size=1024,
                                   max_tokens=400, elastic=True)
     assert out == spec.encode(data, level=1, block_size=1024, max_tokens=400)
     assert spec.decode(out) == data
+    snap = metrics.registry.snapshot()["counters"]
+    assert snap.get("enc.group_failover") == 1
+    assert calls["n"] >= 3  # the device path resumed after the failed group

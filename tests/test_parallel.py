@@ -66,6 +66,30 @@ def test_mesh_encode_equals_spec_level0_carry():
     assert stream == ref
 
 
+def test_mesh_adaptive_mispredict_passes():
+    # adversarial D=8 group: alternating compressible/incompressible blocks
+    # force the optimistic schedule to mispredict (the drop fires mid-group,
+    # src/libzling.cpp:261-266); must converge to canonical bytes within a
+    # bounded number of validation passes, surfaced as a counter
+    from libzling_tpu.utils import metrics
+
+    rng = np.random.default_rng(9)
+    blocks = [(b"the quick brown fox jumps over " * 40)[:1024] if i % 2 == 0
+              else bytes(rng.integers(0, 256, 1024, dtype=np.uint8))
+              for i in range(8)]
+    data = b"".join(blocks)
+    mesh = pmesh.make_mesh()
+    metrics.registry.reset()
+    stream = pmesh.mesh_encode(data, level=1, mesh=mesh, block_size=1024,
+                               max_tokens=400)
+    assert stream == spec.encode(data, level=1, block_size=1024,
+                                 max_tokens=400)
+    passes = metrics.registry.snapshot()["counters"].get(
+        "enc.schedule_mispredicts", 0)
+    assert passes >= 1, "the adversarial group must actually mispredict"
+    assert passes <= 8, f"validation did not converge quickly ({passes})"
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 

@@ -32,13 +32,22 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--split", action="store_true",
                     help="two-kernel pipeline instead of the fused default")
+    ap.add_argument("--random", action="store_true",
+                    help="incompressible corpus: all-literal units isolate "
+                         "the literal-path cost")
     args = ap.parse_args()
 
     from tools.make_corpus import cached_corpus
-    from libzling_tpu import device, pipeline
+    from libzling_tpu import container, device, pipeline
 
-    data = cached_corpus(100_000_000).read_bytes()[: args.mb * 1048576]
+    if args.random:
+        data = np.random.default_rng(0).integers(
+            0, 256, args.mb * 1048576, dtype=np.uint8).tobytes()
+    else:
+        data = cached_corpus(100_000_000).read_bytes()[: args.mb * 1048576]
     stream = pipeline.encode(data, args.level)
+    chunks, _ = container.parse(stream)
+    n_tokens = sum(ch.rlen for ch in chunks)
     print(f"{len(data) / 1e6:.0f} MB -> {len(stream) / 1e6:.1f} MB stream",
           flush=True)
 
@@ -56,6 +65,8 @@ def main() -> None:
     assert out == data
     print(f"warm e2e: {best:.2f}s -> {len(data) / best / 1e6:.1f} MB/s "
           f"decode on {jax.devices()[0].device_kind}", flush=True)
+    print(f"tokens: {n_tokens} -> {best / n_tokens * 1e9:.0f} ns/token e2e",
+          flush=True)
     print("bit-exact PASS", flush=True)
 
 

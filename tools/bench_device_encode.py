@@ -49,7 +49,7 @@ lv = tk._LEVEL_TABLE[levels[:max_chunks]]
 meta[0, 3, :max_chunks] = lv[:, 0]
 meta[0, 4, :max_chunks] = lv[:, 1]
 meta[0, 5, :max_chunks] = lv[:, 2]
-flat = np.zeros(block_rows * 128, np.int32)
+flat = np.zeros(block_rows * 128, np.uint8)
 flat[:ilen] = np.frombuffer(data, np.uint8)
 meta_d = jax.device_put(jnp.asarray(meta))
 flat_d = jax.device_put(jnp.asarray(flat[None]))
