@@ -257,6 +257,26 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
 
         delta = jnp.maximum(opos - src, 1)
 
+        # tail bytes from the SOURCE side: out[opos+k] == out[src+k%delta]
+        # for k >= 0 (an overlapping copy replicates the delta-period
+        # pattern), and src + (mlen-j)%delta < opos is already-written
+        # content.  The three extracts are independent, issue together, and
+        # their ~140-cycle latency hides under the copy's vector work (the
+        # old form read new_opos-3 AFTER the copy: a dependent chain on
+        # every match).
+        @pl.when(mlen > 0)
+        def _():
+            p1 = src + jax.lax.rem(mlen - 1, delta)
+            p2 = src + jax.lax.rem(mlen - 2, delta)
+            p3 = src + jax.lax.rem(mlen - 3, delta)
+            r1 = out_vmem[pl.ds(_srl(p1, 7), 1), :]
+            r2 = out_vmem[pl.ds(_srl(p2, 7), 1), :]
+            r3 = out_vmem[pl.ds(_srl(p3, 7), 1), :]
+            b1v = jnp.sum(jnp.where(IOTA == (p1 & 127), r1, 0))
+            b2v = jnp.sum(jnp.where(IOTA == (p2 & 127), r2, 0))
+            b3v = jnp.sum(jnp.where(IOTA == (p3 & 127), r3, 0))
+            pers_ref[3] = (b3v << 16) | (b2v << 8) | b1v
+
         @pl.when(mlen > 0)
         def _():
             n0 = jnp.minimum(mlen, delta)
@@ -270,14 +290,6 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
             jax.lax.while_loop(lambda d: d < mlen, dbl, n0)
 
         new_opos = opos + jnp.where(is_match, mlen, n_simple)
-
-        @pl.when(mlen > 0)
-        def _():
-            tail = aligned_row(new_opos - 3)
-            pers_ref[3] = jnp.sum(jnp.where(
-                IOTA == 0, tail << 16,
-                jnp.where(IOTA == 1, tail << 8,
-                          jnp.where(IOTA == 2, tail, 0))))
 
         packed_tail = jnp.where(is_match, pers_ref[3], 0)
         cb1 = packed_tail & 255
@@ -394,17 +406,11 @@ def _fused_call(mtfnext, meta, order1, lut1, lut2, mtf0, words,
     return packed, status
 
 
-def fused_decode(len1, len2, payloads, rlens, encpos, new_block,
-                 hbm_row_base, out_words: int, interpret: bool = False,
-                 pslab_words: int = PSLAB_WORDS):
-    """Decode all chunks in one fused pass.
-
-    len1/len2: [C,514]/[C,32] code lengths; payloads: per-chunk huffman
-    bitstream bytes; rlens/encpos/new_block/hbm_row_base: per-chunk i32
-    metadata (hbm_row_base = the owning block's ROW base in the unpacked
-    [R,128] output).  Returns (packed LE-byte words [out_words//4] i32,
-    status [C,8,128]: [:,0,0]=opos, [:,0,1]=tokens, [:,0,2]=bad).
-    """
+def prepare_fused(len1, len2, payloads, rlens, encpos, new_block,
+                  hbm_row_base, pslab_words: int = PSLAB_WORDS):
+    """Stage the per-chunk tables + payload words on device (the host ships
+    only length arrays and the packed payload bytes).  Returns the argument
+    tuple for ``_fused_call``."""
     from .mtf import _J_MTF_NEXT, initial_state
 
     C = len(payloads)
@@ -435,7 +441,22 @@ def fused_decode(len1, len2, payloads, rlens, encpos, new_block,
     mtf0 = np.zeros((1, MTF_WORDS), np.int32)
     mtf0[0, :65536] = np.asarray(r2s, np.int32).reshape(-1)
     mtfnext = np.asarray(_J_MTF_NEXT(), np.int32).reshape(1, 256)
-    return _fused_call(
-        jnp.asarray(mtfnext), meta, order1, lut1, lut2, jnp.asarray(mtf0),
-        jnp.asarray(words[None, :]), interpret=interpret,
-        pslab_words=pslab_words, out_words=out_words)
+    return (jnp.asarray(mtfnext), meta, order1, lut1, lut2,
+            jnp.asarray(mtf0), jnp.asarray(words[None, :]))
+
+
+def fused_decode(len1, len2, payloads, rlens, encpos, new_block,
+                 hbm_row_base, out_words: int, interpret: bool = False,
+                 pslab_words: int = PSLAB_WORDS):
+    """Decode all chunks in one fused pass.
+
+    len1/len2: [C,514]/[C,32] code lengths; payloads: per-chunk huffman
+    bitstream bytes; rlens/encpos/new_block/hbm_row_base: per-chunk i32
+    metadata (hbm_row_base = the owning block's ROW base in the unpacked
+    [R,128] output).  Returns (packed LE-byte words [out_words//4] i32,
+    status [C,8,128]: [:,0,0]=opos, [:,0,1]=tokens, [:,0,2]=bad).
+    """
+    args = prepare_fused(len1, len2, payloads, rlens, encpos, new_block,
+                         hbm_row_base, pslab_words=pslab_words)
+    return _fused_call(*args, interpret=interpret,
+                       pslab_words=pslab_words, out_words=out_words)
