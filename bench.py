@@ -14,6 +14,7 @@ ratios, and the baseline measurements ride along in the same JSON object.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import subprocess
 import sys
@@ -127,7 +128,7 @@ def main() -> None:
     results["tpu"] = {}
     if device:
         try:
-            log("device decode (Pallas entropy + resolve kernels)...")
+            log("device decode (fused Pallas kernel)...")
             r = subprocess.run(
                 [sys.executable, str(REPO / "tools" / "bench_device_decode.py"),
                  "--mb", "32"], capture_output=True, text=True, timeout=1200)
@@ -136,6 +137,32 @@ def main() -> None:
                     results["tpu"]["decode_mbps_e0_32MB"] = float(
                         line.split("->")[1].split("MB/s")[0])
                     log("  " + line.strip())
+                elif line.startswith("kernel:"):
+                    # kernel-only rate (inputs device-resident; excludes the
+                    # ~28 ms-RTT tunnel transfers -- the deployment number)
+                    results["tpu"]["decode_kernel_mbps_e0_32MB"] = float(
+                        line.split("->")[1].split("MB/s")[0])
+                    log("  " + line.strip())
+        except Exception:
+            pass
+        try:
+            # standing compiled-mode golden gate: full-corpus encode through
+            # the public API's tpu backend (Pallas tokenizer + MTF relabel
+            # kernel at canonical 16 MB geometry), byte-identical to the
+            # reference-golden host pipeline
+            log("device encode (public API tpu backend, 100 MB golden)...")
+            r = subprocess.run(
+                [sys.executable, str(REPO / "tools" / "bench_device_api.py"),
+                 "--mb", "100"], capture_output=True, text=True, timeout=3000)
+            verified = any(line.startswith("bit-exact PASS")
+                           for line in r.stdout.splitlines())
+            results["tpu"]["encode_api_bitexact_100MB"] = verified
+            for line in r.stdout.splitlines():
+                if line.startswith("warm:"):
+                    results["tpu"]["encode_api_mbps_e0_100MB"] = float(
+                        line.split("->")[1].split("MB/s")[0])
+                    log("  " + line.strip())
+            log(f"  bit-exact vs host pipeline: {verified}")
         except Exception:
             pass
         try:
@@ -160,8 +187,43 @@ def main() -> None:
                     results["tpu"]["tokenize_mbps_e0"] = float(
                         line.split(",")[1].split("MB/s")[0])
                     log("  " + line.strip())
+                elif line.startswith("kernel:"):
+                    results["tpu"]["tokenize_kernel_mbps_e0"] = float(
+                        line.split(",")[1].split("MB/s")[0])
+                    results["tpu"]["tokenize_kernel_ns_per_unit"] = float(
+                        line.split("(")[1].split("ns/unit")[0])
+                    log("  " + line.strip())
         except Exception:
             pass
+
+    # counters A/B: the native engine rebuilt with the match-loop debug
+    # counters compiled out (ZLT_NOCNT), same corpus/level -- quantifies the
+    # always-on counter cost against the headline host number
+    try:
+        log("host e0 with counters compiled out (ZLT_NOCNT=1)...")
+        code = f"""
+import sys, time
+sys.path.insert(0, {str(REPO)!r})
+from libzling_tpu import pipeline
+data = open({str(data_path)!r}, 'rb').read()
+pipeline.encode(data, 0)  # warm-up
+best = float('inf')
+for _ in range(2):
+    t0 = time.perf_counter()
+    pipeline.encode(data, 0)
+    best = min(best, time.perf_counter() - t0)
+print('nocnt:', len(data) / best / 1e6)
+"""
+        env = dict(os.environ, ZLT_NOCNT="1")
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=600)
+        for line in r.stdout.splitlines():
+            if line.startswith("nocnt:"):
+                results["counters_off_enc_mbps_e0"] = round(
+                    float(line.split()[1]), 1)
+                log(f"  {results['counters_off_enc_mbps_e0']} MB/s")
+    except Exception:
+        pass
 
     # match-loop observability (reference debug-counter analog)
     try:

@@ -316,6 +316,12 @@ struct Tokenizer {
   // [4] lazy skips      [5] word-MRU hits [6] literals    [7] match bytes
   unsigned long long cnt[8] = {};
 
+#ifdef ZLT_NOCNT
+#define ZLT_CNT(expr) ((void)0)
+#else
+#define ZLT_CNT(expr) (expr)
+#endif
+
   void reset_rings() {
     for (int c = 0; c < 256; c++) {
       EncRing& r = rings[c];
@@ -354,12 +360,12 @@ struct Tokenizer {
     r.chain[r.head] = r.hash_head[hs];
     r.slot[r.head] = (uint32_t)pos | (uint32_t)check << 24;
     r.hash_head[hs] = r.head;
-    cnt[0]++;
+    ZLT_CNT(cnt[0]++);
 
     if (node == kNil || node == r.head) return false;
 
     for (int i = 0; i < lp.depth; i++) {
-      cnt[1]++;
+      ZLT_CNT(cnt[1]++);
       uint32_t off = r.slot[node] & 0xffffff;
       if ((r.slot[node] >> 24) == check && buf[pos + best_len] == buf[off + best_len]) {
         int len = common_len(buf + pos, buf + off, kMaxMatch);
@@ -375,8 +381,8 @@ struct Tokenizer {
 
     if (best_len >= kMinMatch) {
       if (best_len < kLazyThreshold) {
-        if (lp.lazy1 > 0 && lazy_probe(buf, pos + 1, best_len, lp.lazy1)) { cnt[4]++; return false; }
-        if (lp.lazy2 > 0 && lazy_probe(buf, pos + 2, best_len, lp.lazy2)) { cnt[4]++; return false; }
+        if (lp.lazy1 > 0 && lazy_probe(buf, pos + 1, best_len, lp.lazy1)) { ZLT_CNT(cnt[4]++); return false; }
+        if (lp.lazy2 > 0 && lazy_probe(buf, pos + 2, best_len, lp.lazy2)) { ZLT_CNT(cnt[4]++); return false; }
       }
       *out_len = best_len;
       *out_idx = (r.head - best_node) & (kRingSize - 1);
@@ -430,8 +436,8 @@ struct Tokenizer {
       if (ipos < match_limit) {
         int mlen, midx;
         if (find_match(buf, ipos, lp, &mlen, &midx)) {
-          cnt[2]++;
-          cnt[7] += (unsigned long long)mlen;
+          ZLT_CNT(cnt[2]++);
+          ZLT_CNT(cnt[7] += (unsigned long long)mlen);
           tok[ntok++] = (uint16_t)(258 + mlen - kMinMatch);
           tok[ntok++] = (uint16_t)midx;
           ipos += mlen;
@@ -440,19 +446,19 @@ struct Tokenizer {
           if (m[0] != w) { m[1] = m[0]; m[0] = w; }
           continue;
         }
-        cnt[3]++;
+        ZLT_CNT(cnt[3]++);
       }
       if (ipos + 1 < ilen) {
         uint32_t w = (uint32_t)(buf[ipos] << 8 | buf[ipos + 1]);
         uint32_t* m = mru[buf[ipos - 1]];
         if (m[0] == w) {
-          cnt[5]++;
+          ZLT_CNT(cnt[5]++);
           tok[ntok++] = 256;
           ipos += 2;
           continue;
         }
         if (m[1] == w) {
-          cnt[5]++;
+          ZLT_CNT(cnt[5]++);
           tok[ntok++] = 257;
           ipos += 2;
           uint32_t* m2 = mru[buf[ipos - 3]];
@@ -461,7 +467,7 @@ struct Tokenizer {
           continue;
         }
       }
-      cnt[6]++;
+      ZLT_CNT(cnt[6]++);
       tok[ntok++] = raw_literals ? buf[ipos] : mtf->encode(buf[ipos - 1], buf[ipos]);
       ipos++;
       uint32_t* m = mru[buf[ipos - 3]];

@@ -25,8 +25,11 @@ _DEC_HANDLE = None
 
 
 def _build() -> pathlib.Path:
+    # ZLT_NOCNT=1 builds with the match-loop debug counters compiled out
+    # (the reference's LIBZLING_DEBUG analog) for counter-cost A/B runs
+    nocnt = os.environ.get("ZLT_NOCNT", "") == "1"
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    tag = hashlib.sha256(src + (b"nocnt" if nocnt else b"")).hexdigest()[:16]
     out_dir = _REPO / "build" / "native"
     out_dir.mkdir(parents=True, exist_ok=True)
     lib = out_dir / f"libzlt_{tag}.so"
@@ -38,6 +41,8 @@ def _build() -> pathlib.Path:
         "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         str(_SRC), "-o", str(tmp),
     ]
+    if nocnt:
+        cmd.insert(5, "-DZLT_NOCNT")
     subprocess.run(cmd, check=True, capture_output=True)
     tmp.replace(lib)
     return lib

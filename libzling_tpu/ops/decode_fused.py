@@ -203,8 +203,29 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         emitted = emitted + 1 + has_idx.astype(jnp.int32)
         bad = bad | (wpos > n_words)
 
-        # ---- resolve the unit (ops/resolve_kernel.py logic, verbatim)
+        # ---- resolve the unit (ops/resolve_kernel.py logic, verbatim).
+        # Schedule: the match path's ring extract issues FIRST, right after
+        # the bit-read, so its ~140-cycle transfer overlaps the MTF/MRU SMEM
+        # work below; the ring insert happens after the lookup (the cells
+        # differ unless midx == 0, which is rejected as corrupt anyway).
         ctx = l1
+        rctx = jnp.where(is_head, 256, ctx)
+        h = (head_ref[0, rctx] + 1) & 4095
+        head_ref[0, rctx] = h
+
+        @pl.when(is_match)
+        def _():
+            # flush the staging row so the source-side tail reads (and the
+            # copy) see every byte below opos
+            out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
+            ls = (h - midx) & 4095
+            lrow = ring_ref[pl.ds(ctx * 32 + _srl(ls, 7), 1), :]
+            pers_ref[2] = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
+
+        rrow = jnp.where(is_head, RING_ROWS - 1, ctx * 32 + _srl(h, 7))
+        row = ring_ref[pl.ds(rrow, 1), :]
+        ring_ref[pl.ds(rrow, 1), :] = jnp.where(IOTA == (h & 127), opos, row)
+
         tl = jnp.where(is_lit, t, 0) & 255
         lit_byte = mtf_ref[0, ctx * 256 + tl]
         j = mtfnext_ref[0, tl]
@@ -216,19 +237,6 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         wv = mru_ref[0, jnp.where(is_word, ctx * 2 + (t & 1), 514)]
         b0 = _srl(wv, 8) & 255
         b1 = wv & 255
-
-        rctx = jnp.where(is_head, 256, ctx)
-        h = (head_ref[0, rctx] + 1) & 4095
-        head_ref[0, rctx] = h
-        rrow = jnp.where(is_head, RING_ROWS - 1, ctx * 32 + _srl(h, 7))
-        row = ring_ref[pl.ds(rrow, 1), :]
-        ring_ref[pl.ds(rrow, 1), :] = jnp.where(IOTA == (h & 127), opos, row)
-
-        @pl.when(is_match)
-        def _():
-            ls = (h - midx) & 4095
-            lrow = ring_ref[pl.ds(ctx * 32 + _srl(ls, 7), 1), :]
-            pers_ref[2] = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
 
         src = jnp.where(is_match, pers_ref[2], 1)
         bad = bad | (is_match & ((midx == 0) | (src == 0) | (src >= opos)))
@@ -250,10 +258,6 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         cur_row = put(cur_row, opos + 1, b1, n_simple >= 2)
 
         mlen = jnp.where(is_match & ~bad, t - 258 + MATCH_MIN_LEN, 0)
-
-        @pl.when(is_match)
-        def _():
-            out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
 
         delta = jnp.maximum(opos - src, 1)
 

@@ -571,8 +571,11 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
                           jnp.where(hit1, 257, sbyte(ipos, soff))))
             kind = jnp.where(is_head, 0,
                              jnp.where(is_lit, 1, jnp.where(is_word, 2, 3)))
+            # bits 14+: match idx for matches, the literal's order-1 ctx for
+            # literals (free bits there -- idx is 0) so the MTF relabel
+            # kernel needs no side lookup into the block
             stg_a[0, staged] = sym | (kind << 10) \
-                | (jnp.where(found, midx, 0) << 14)
+                | (jnp.where(found, midx, jnp.where(is_lit, ctx, 0)) << 14)
             stg_b[0, staged] = ipos
             staged = staged + 1
             nu = nu + 1
@@ -682,13 +685,16 @@ def _tokenize_call(meta, block_flat, interpret: bool = False,
 
 def tokenize_block_traced(block_u8, ilen, levels, *, max_tokens: int,
                           max_chunks: int, chunk_units: int,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          return_packed: bool = False):
     """Traced variant for use under jit/shard_map (mesh integration).
 
     block_u8: [B] u8 traced array (zero-padded); ilen traced i32; levels
     [max_chunks] traced i32 level ids.  Returns (sym, idx, upos, kind
     [max_chunks, chunk_units], nunits, ntoks, encpos [max_chunks],
-    n_chunks, err) as traced arrays.
+    n_chunks, err) as traced arrays; with return_packed also the raw packed
+    unit words [1, max_chunks * chunk_stride] (the MTF relabel kernel's
+    input format).
     """
     assert max_chunks <= 256
     chunk_stride = ((chunk_units + STAGE_UNITS - 1) // STAGE_UNITS + 1) \
@@ -713,10 +719,11 @@ def tokenize_block_traced(block_u8, ilen, levels, *, max_tokens: int,
     upos = outb.reshape(max_chunks, chunk_stride)[:, :chunk_units]
     sym = a & 1023
     kind = (a >> 10) & 3
-    idx = (a >> 14) & 4095
-    return (sym, idx, upos, kind, stat[0, 0, :max_chunks],
-            stat[0, 1, :max_chunks], stat[0, 2, :max_chunks],
-            stat[0, 6, 0], stat[0, 6, 1])
+    idx = jnp.where(kind == 3, (a >> 14) & 4095, 0)
+    out = (sym, idx, upos, kind, stat[0, 0, :max_chunks],
+           stat[0, 1, :max_chunks], stat[0, 2, :max_chunks],
+           stat[0, 6, 0], stat[0, 6, 1])
+    return out + (outa,) if return_packed else out
 
 
 def tokenize_block(block: bytes | np.ndarray, levels, max_tokens: int,
@@ -763,7 +770,7 @@ def tokenize_block(block: bytes | np.ndarray, levels, max_tokens: int,
     b = np.pad(b, pad)
     sym = a & 1023
     kind = (a >> 10) & 3
-    idx = (a >> 14) & 4095
+    idx = np.where(kind == 3, (a >> 14) & 4095, 0)
     return (sym, idx, b, kind, stat[0, 0, :max_chunks],
             stat[0, 1, :max_chunks], stat[0, 2, :max_chunks],
             int(stat[0, 6, 0]), int(stat[0, 6, 1]))

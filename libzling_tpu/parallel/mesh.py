@@ -139,56 +139,83 @@ def parallel_encode_step(blocks, ilens, levels, r2s0, s2r0, *, mesh: Mesh,
     """
     D = mesh.devices.size
 
+    chunk_stride = ((chunk_units + 512 - 1) // 512 + 1) * 512
+
     def step(block, ilen, levels, r2s0, s2r0):
-        if tokenizer == "pallas":
-            # the scalar-core kernel lane (ops/tokenize_kernel.py); bit-
-            # identical units, usable on real TPU cores (interpreted on CPU)
-            from ..ops import tokenize_kernel as tkk
-
-            (sym, idx, upos, kind, nunits, ntoks, encpos, _nc, _err) = \
-                tkk.tokenize_block_traced(
-                    block[0], ilen[0], levels[0], max_tokens=max_tokens,
-                    max_chunks=max_chunks, chunk_units=chunk_units,
-                    interpret=jax.default_backend() != "tpu")
-        else:
-            sym, idx, upos, kind, nunits, ntoks, encpos, _n_chunks = \
-                _tokenize_block_chunks(block[0], ilen[0], levels[0],
-                                       max_tokens, max_chunks, chunk_units)
-        U = max_chunks * chunk_units
-        sym_f = sym.reshape(U)
-        upos_f = upos.reshape(U)
-        kind_f = kind.reshape(U)
-        valid = (jnp.arange(chunk_units)[None, :] < nunits[:, None])
-        valid_f = valid.reshape(U)
-        is_lit = valid_f & (kind_f == rops.KIND_LITERAL)
-        lit_ctx = block[0][jnp.maximum(upos_f - 1, 0)].astype(jnp.int32)
-        lit_raw = block[0][upos_f].astype(jnp.int32)
-
         # O(D) ppermute carry chain (DESIGN.md section 3.5): at step k only
         # device k holds the true MTF state; it relabels and hands the
         # updated state to its right neighbor over the ICI ring.
         me = jax.lax.axis_index(AXIS)
         ring = [(i, (i + 1) % D) for i in range(D)]
+        interpret = jax.default_backend() != "tpu"
 
-        def chain(k, carry):
-            r2s, s2r, my_ranks = carry
-            ranks_k, r2s_k, s2r_k = mops.encode_relabel(
-                r2s, s2r, lit_ctx, lit_raw, is_lit)
-            mine = me == k
-            my_ranks = jnp.where(mine, ranks_k, my_ranks)
-            r2s = jnp.where(mine, r2s_k, r2s)
-            s2r = jnp.where(mine, s2r_k, s2r)
-            r2s = jax.lax.ppermute(r2s, AXIS, ring)
-            s2r = jax.lax.ppermute(s2r, AXIS, ring)
-            return r2s, s2r, my_ranks
+        if tokenizer == "pallas":
+            # the scalar-core kernel lane (ops/tokenize_kernel.py); bit-
+            # identical units, usable on real TPU cores (interpreted on CPU)
+            from ..ops import relabel_kernel as rlk
+            from ..ops import tokenize_kernel as tkk
 
-        r2s, s2r, ranks = jax.lax.fori_loop(
-            0, D, chain, (r2s0, s2r0, jnp.zeros(U, jnp.int32)))
+            (sym, idx, upos, kind, nunits, ntoks, encpos, _nc, _err,
+             a_raw) = tkk.tokenize_block_traced(
+                block[0], ilen[0], levels[0], max_tokens=max_tokens,
+                max_chunks=max_chunks, chunk_units=chunk_units,
+                interpret=interpret, return_packed=True)
+
+            # relabel via the scalar-core MTF kernel (the XLA lockstep scan
+            # costs ~51 s per 16 MB block on the v5e -- relabel_kernel.py)
+            def chain(k, carry):
+                r2s, s2r, my_a = carry
+                a_k, r2s_k, s2r_k = rlk.relabel_block(
+                    a_raw, nunits, r2s, s2r, chunk_stride=chunk_stride,
+                    max_chunks=max_chunks, interpret=interpret)
+                mine = me == k
+                my_a = jnp.where(mine, a_k, my_a)
+                r2s = jnp.where(mine, r2s_k, r2s)
+                s2r = jnp.where(mine, s2r_k, s2r)
+                r2s = jax.lax.ppermute(r2s, AXIS, ring)
+                s2r = jax.lax.ppermute(s2r, AXIS, ring)
+                return r2s, s2r, my_a
+
+            r2s, s2r, a2 = jax.lax.fori_loop(
+                0, D, chain, (r2s0, s2r0, jnp.zeros_like(a_raw)))
+            sym2 = a2.reshape(max_chunks, chunk_stride)[:, :chunk_units] \
+                & 1023
+            valid = (jnp.arange(chunk_units)[None, :] < nunits[:, None])
+        else:
+            sym, idx, upos, kind, nunits, ntoks, encpos, _n_chunks = \
+                _tokenize_block_chunks(block[0], ilen[0], levels[0],
+                                       max_tokens, max_chunks, chunk_units)
+            U = max_chunks * chunk_units
+            sym_f = sym.reshape(U)
+            upos_f = upos.reshape(U)
+            kind_f = kind.reshape(U)
+            valid = (jnp.arange(chunk_units)[None, :] < nunits[:, None])
+            valid_f = valid.reshape(U)
+            is_lit = valid_f & (kind_f == rops.KIND_LITERAL)
+            lit_ctx = block[0][jnp.maximum(upos_f - 1, 0)].astype(jnp.int32)
+            lit_raw = block[0][upos_f].astype(jnp.int32)
+
+            def chain(k, carry):
+                r2s, s2r, my_ranks = carry
+                ranks_k, r2s_k, s2r_k = mops.encode_relabel(
+                    r2s, s2r, lit_ctx, lit_raw, is_lit)
+                mine = me == k
+                my_ranks = jnp.where(mine, ranks_k, my_ranks)
+                r2s = jnp.where(mine, r2s_k, r2s)
+                s2r = jnp.where(mine, s2r_k, s2r)
+                r2s = jax.lax.ppermute(r2s, AXIS, ring)
+                s2r = jax.lax.ppermute(s2r, AXIS, ring)
+                return r2s, s2r, my_ranks
+
+            r2s, s2r, ranks = jax.lax.fori_loop(
+                0, D, chain, (r2s0, s2r0, jnp.zeros(U, jnp.int32)))
+            sym2 = jnp.where(is_lit, ranks, sym_f) \
+                .reshape(max_chunks, chunk_units)
+
         # after D handoffs the group-exit state sits on device 0: broadcast
         r2s = jax.lax.psum(jnp.where(me == 0, r2s, 0), AXIS)
         s2r = jax.lax.psum(jnp.where(me == 0, s2r, 0), AXIS)
 
-        sym2 = jnp.where(is_lit, ranks, sym_f).reshape(max_chunks, chunk_units)
         freq1, freq2 = jax.vmap(hops.unit_histograms)(sym2, idx, valid)
         n_chunks = jnp.sum((nunits > 0).astype(jnp.int32))
         return (sym2[None], idx[None], valid[None], nunits[None], ntoks[None],
@@ -205,21 +232,37 @@ def parallel_encode_step(blocks, ilens, levels, r2s0, s2r0, *, mesh: Mesh,
     )(blocks, ilens, levels, r2s0, s2r0)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "out_words"))
+@functools.partial(jax.jit, static_argnames=("mesh", "out_words",
+                                              "compact_words"))
 def parallel_pack_step(sym2, idx, valid, len1, enc1, len2, enc2, *,
-                       mesh: Mesh, out_words: int):
-    """Stage 2: per-chunk bit-packing with each chunk's Huffman tables."""
+                       mesh: Mesh, out_words: int, compact_words: int):
+    """Stage 2: per-chunk bit-packing with each chunk's Huffman tables.
+
+    The per-chunk word buffers are compacted on device (each chunk's
+    payload words packed end to end at cumsum offsets) so the host gather
+    moves ~the compressed size instead of C x out_words of padding --
+    at canonical 16 MB geometry that is ~19 MB instead of ~270 MB."""
 
     def step(sym2, idx, valid, len1, enc1, len2, enc2):
         pack = functools.partial(hops.pack_units, out_words=out_words)
         words, bits = jax.vmap(pack)(sym2[0], idx[0], valid[0], len1[0],
                                      enc1[0], len2[0], enc2[0])
-        return words[None], bits[None]
+        nw = (bits + 31) // 32
+        offs = jnp.cumsum(nw) - nw
+
+        words = jax.lax.bitcast_convert_type(words, jnp.int32)
+
+        def body(c, buf):
+            return jax.lax.dynamic_update_slice(buf, words[c], (offs[c],))
+
+        compact = jax.lax.fori_loop(
+            0, words.shape[0], body, jnp.zeros(compact_words, jnp.int32))
+        return compact[None], bits[None], offs[None]
 
     return jax.shard_map(
         step, mesh=mesh, check_vma=False,
         in_specs=(P(AXIS, None, None),) * 7,
-        out_specs=(P(AXIS, None, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
     )(sym2, idx, valid, len1, enc1, len2, enc2)
 
 
@@ -375,13 +418,18 @@ def _encode_group_device(blocks, ilens, sched, r2s_snap, s2r_snap, gilens,
         enc2 = hops.canonical_codes(
             jnp.asarray(len2.reshape(-1, HUFFMAN_CODES_2)),
             HUFFMAN_MAX_LEN_2).reshape(D, max_chunks, HUFFMAN_CODES_2)
-        words, bits = parallel_pack_step(
+        # a unit packs to < 4 bytes and consumes >= 1 input byte, so a
+        # block's payload words are bounded by its byte count; the compact
+        # buffer is HBM-cheap, and the host gather below moves only the
+        # realized compressed words
+        compact_words = int(np.max(gilens)) + out_words + 64
+        words, bits, offs = parallel_pack_step(
             sym2, idx, valid,
             shard_put(len1, mesh, P(AXIS, None, None)),
             shard_put(np.asarray(enc1), mesh, P(AXIS, None, None)),
             shard_put(len2, mesh, P(AXIS, None, None)),
             shard_put(np.asarray(enc2), mesh, P(AXIS, None, None)),
-            mesh=mesh, out_words=out_words)
+            mesh=mesh, out_words=out_words, compact_words=compact_words)
         bits_np = host_gather(bits)
         encpos_np = host_gather(encpos)
 
@@ -416,16 +464,22 @@ def _encode_group_device(blocks, ilens, sched, r2s_snap, s2r_snap, gilens,
 
         metrics.registry.count("enc.schedule_mispredicts", passes - 1)
 
-    # ---- host: ordered gather + container framing
+    # ---- host: ordered gather + container framing (fetch only the
+    # realized compressed words, not the padded pack buffers)
     out = bytearray()
-    words_np = host_gather(words)
+    offs_np = host_gather(offs)
+    nw_np = (bits_np + 31) // 32
+    needed = int(np.max(offs_np + nw_np)) if offs_np.size else 0
+    words_np = host_gather(words[:, :max(needed, 1)])
     ntoks_np = host_gather(ntoks)
     for d in range(D):
         if group + d >= nblocks or gilens[d] == 0:
             continue
         for c in range(int(nchunks_np[d])):
+            o = int(offs_np[d, c])
+            w = words_np[d, o: o + int(nw_np[d, c])]
             payload = hops.payload_from_words(
-                words_np[d, c], int(bits_np[d, c]), len1[d, c], len2[d, c])
+                w, int(bits_np[d, c]), len1[d, c], len2[d, c])
             out.append(1)
             out.extend(int(encpos_np[d, c]).to_bytes(4, "big"))
             out.extend(int(ntoks_np[d, c]).to_bytes(4, "big"))

@@ -101,4 +101,4 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(8, quick=True)

@@ -69,6 +69,51 @@ def main() -> None:
           flush=True)
     print("bit-exact PASS", flush=True)
 
+    if args.split:
+        return
+
+    # kernel-only rate: tables + payload words staged on device once,
+    # completion forced by the tiny status fetch (the axon platform's
+    # block_until_ready does not synchronize); this is the deployment
+    # number -- the e2e figure above includes ~1.3x the corpus size in
+    # tunnel transfers
+    from libzling_tpu.ops import decode_fused as fk
+    from libzling_tpu.ops import resolve_kernel as rk
+
+    len1, len2, bodies, rlens = container.unpack_length_tables(chunks)
+    encpos = np.asarray([ch.encpos for ch in chunks], np.int32)
+    C = len(chunks)
+    new_block = np.zeros(C, np.int32)
+    hbm_base = np.zeros(C, np.int32)
+    _, block_sizes = container.parse(stream)
+    burst = rk.FLUSH_ROWS * 128
+    block_base_rows, acc = [], 0
+    for size in block_sizes:
+        block_base_rows.append(acc)
+        acc += ((size + burst - 1) // burst + 1) * rk.FLUSH_ROWS
+    out_words = (acc + rk.FLUSH_ROWS) * 128
+    prev = -1
+    for c, ch in enumerate(chunks):
+        if ch.block_id != prev:
+            new_block[c] = 1
+            prev = ch.block_id
+        hbm_base[c] = block_base_rows[ch.block_id]
+    kargs = fk.prepare_fused(len1, len2, bodies, rlens.astype(np.int32),
+                             encpos, new_block, hbm_base)
+    kargs = jax.device_put(kargs)
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        _packed, status = fk._fused_call(*kargs, out_words=out_words)
+        bad = np.asarray(status[:, 0, 2]).sum()
+        times.append(time.perf_counter() - t0)
+    assert bad == 0
+    times.sort()
+    kb = times[0]
+    print(f"kernel: best {kb:.3f}s median {times[len(times)//2]:.3f}s -> "
+          f"{len(data)/kb/1e6:.1f} MB/s ({kb/n_tokens*1e9:.0f} ns/token)",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,99 @@
+"""One REAL execution of mesh_encode at the canonical reference geometry
+(kBlockSizeIn = 16777216, kBlockSizeRolz = 262144 --
+/root/reference/src/libzling.cpp:70-71), asserting byte equality against the
+host pipeline (itself golden-tested against the reference binary) and
+recording throughput + device memory in MESH_CANONICAL_r03.json.
+
+Modes:
+  --tpu   D=1 on the real chip, Pallas tokenizer lane (default 64 MB)
+  --cpu   8-device virtual CPU mesh, XLA lane (default 128 MB); run under
+          JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / "build" / "jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+ARTIFACT = REPO / "MESH_CANONICAL_r03.json"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mb", type=int, default=0)
+    ap.add_argument("--level", type=int, default=0)
+    args = ap.parse_args()
+
+    from tools.make_corpus import cached_corpus
+    from libzling_tpu import pipeline
+    from libzling_tpu.parallel import mesh as pmesh
+    from libzling_tpu.tables import BLOCK_SIZE_IN, BLOCK_SIZE_ROLZ
+
+    if args.cpu:
+        mode, tokenizer = "cpu8", "xla"
+        devices = jax.devices("cpu")[:8]
+        mb = args.mb or 128
+    else:
+        mode, tokenizer = "tpu1", "pallas"
+        devices = jax.devices()[:1]
+        mb = args.mb or 64
+    mesh = pmesh.make_mesh(np.asarray(devices))
+    data = cached_corpus(100_000_000).read_bytes()[: mb * 1048576]
+    print(f"{mode}: {len(data)} bytes over {len(devices)} device(s), "
+          f"block={BLOCK_SIZE_IN} max_tokens={BLOCK_SIZE_ROLZ} "
+          f"tokenizer={tokenizer}", flush=True)
+
+    t0 = time.perf_counter()
+    stream = pmesh.mesh_encode(data, args.level, mesh=mesh,
+                               block_size=BLOCK_SIZE_IN,
+                               max_tokens=BLOCK_SIZE_ROLZ,
+                               tokenizer=tokenizer)
+    dt = time.perf_counter() - t0
+    print(f"mesh_encode: {dt:.1f}s -> {len(data)/dt/1e6:.2f} MB/s, "
+          f"{len(stream)} bytes", flush=True)
+
+    ref = pipeline.encode(data, args.level)
+    assert stream == ref, "canonical-geometry mesh stream != host pipeline"
+    print("byte-identical to the host pipeline (reference-golden) PASS",
+          flush=True)
+
+    mem = None
+    try:
+        stats = devices[0].memory_stats()
+        mem = {k: int(v) for k, v in stats.items()
+               if "bytes" in k and isinstance(v, (int, float))}
+    except Exception:
+        pass
+
+    rec = {
+        "mode": mode, "tokenizer": tokenizer, "bytes_in": len(data),
+        "bytes_out": len(stream), "level": args.level,
+        "block_size": BLOCK_SIZE_IN, "max_tokens": BLOCK_SIZE_ROLZ,
+        "seconds": round(dt, 2), "mbps": round(len(data) / dt / 1e6, 3),
+        "byte_identical": True, "device_memory": mem,
+    }
+    doc = {}
+    if ARTIFACT.exists():
+        doc = json.loads(ARTIFACT.read_text())
+    doc[mode] = rec
+    ARTIFACT.write_text(json.dumps(doc, indent=1))
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
