@@ -143,12 +143,13 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         woff = jnp.where(need, (wpos >> 7) << 7, woff)
 
         # ---- bit-read one alphabet-1 symbol (+ matchidx when match)
+        # the loop enters with nbits = 64 and every refill restores
+        # nbits >= 32 before a <= 31-bit consume, so nbits >= 1 always and
+        # the nbits == 0 edge cases need no selects
         w = pslab_ref[0, wpos - woff]
         fill = nbits < 32
-        lo = jnp.where(fill, jnp.where(nbits == 0, w, lo | (w << nbits)), lo)
-        hi = jnp.where(fill,
-                       jnp.where(nbits == 0, 0,
-                                 _srl(w, 32 - jnp.maximum(nbits, 1))), hi)
+        lo = jnp.where(fill, lo | (w << nbits), lo)
+        hi = jnp.where(fill, _srl(w, 32 - nbits), hi)
         wpos = wpos + fill.astype(jnp.int32)
         nbits = nbits + jnp.where(fill, 32, 0)
 

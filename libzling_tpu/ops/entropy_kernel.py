@@ -206,18 +206,18 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
     # zero).  One unit consumes at most 15 + 8 + 8 = 31 bits, so topping up
     # to >= 32 bits once per unit keeps every peek inside lo -- this replaces
     # the previous three windowed SMEM loads per unit with register ops.
-    # The loop decodes TWO units per iteration so the loop/slab/flush
-    # overhead (~25 cycles) amortizes; the second unit is select-gated when
-    # the first one finishes the chunk.
+    # The loop decodes FOUR units per iteration so the loop/slab/flush
+    # overhead (~25 cycles) amortizes; units 2..4 are select-gated once the
+    # chunk is finished.  The loop starts with nbits = 64 and every refill
+    # restores nbits >= 32 before consuming <= 31, so nbits >= 1 always:
+    # the nbits == 0 edge cases need no selects.
 
     def one_unit(wpos, woff, lo, hi, nbits, emitted, obuf_n, bad, active):
         # refill the accumulator (at most one word per unit)
         w = slab_ref[0, wpos - woff]
         fill = active & (nbits < 32)
-        lo = jnp.where(fill, jnp.where(nbits == 0, w, lo | (w << nbits)), lo)
-        hi = jnp.where(fill,
-                       jnp.where(nbits == 0, 0,
-                                 _srl(w, 32 - jnp.maximum(nbits, 1))), hi)
+        lo = jnp.where(fill, lo | (w << nbits), lo)
+        hi = jnp.where(fill, _srl(w, 32 - nbits), hi)
         wpos = wpos + fill.astype(jnp.int32)
         nbits = nbits + jnp.where(fill, 32, 0)
 
@@ -278,14 +278,13 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         adv = jnp.where(active, 1 + is_match.astype(jnp.int32), 0)
         obuf_n = obuf_n + adv
         emitted = emitted + adv
-        bad = bad | (active & (wpos > n_words))
         return wpos, lo, hi, nbits, emitted, obuf_n, bad
 
     def body(carry):
         wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad = carry
 
-        # keep the slab covering the next TWO words (one refill per unit)
-        need = wpos + 1 >= woff + slab_words
+        # keep the slab covering the next FOUR words (one refill per unit)
+        need = wpos + 3 >= woff + slab_words
 
         @pl.when(need)
         def _():
@@ -293,7 +292,7 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
 
         woff = jnp.where(need, (wpos >> 7) << 7, woff)
 
-        # drain the token buffer in aligned bursts (up to 4 tokens/iter)
+        # drain the token buffer in aligned bursts (up to 8 tokens/iter)
         do_flush = obuf_n >= flush_tokens
 
         @pl.when(do_flush)
@@ -308,19 +307,22 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
             cp.wait()
             # carry any leftover tokens (slots beyond obuf_n are garbage and
             # get overwritten or never read)
-            obuf_ref[0, 0] = obuf_ref[0, flush_tokens]
-            obuf_ref[0, 1] = obuf_ref[0, flush_tokens + 1]
-            obuf_ref[0, 2] = obuf_ref[0, flush_tokens + 2]
-            obuf_ref[0, 3] = obuf_ref[0, flush_tokens + 3]
+            for k in range(8):
+                obuf_ref[0, k] = obuf_ref[0, flush_tokens + k]
 
         nflushed = nflushed + do_flush.astype(jnp.int32)
         obuf_n = jnp.where(do_flush, obuf_n - flush_tokens, obuf_n)
 
         wpos, lo, hi, nbits, emitted, obuf_n, bad = one_unit(
             wpos, woff, lo, hi, nbits, emitted, obuf_n, bad, jnp.bool_(True))
-        active2 = (emitted < rlen) & ~bad
-        wpos, lo, hi, nbits, emitted, obuf_n, bad = one_unit(
-            wpos, woff, lo, hi, nbits, emitted, obuf_n, bad, active2)
+        for _ in range(3):
+            active = (emitted < rlen) & ~bad
+            wpos, lo, hi, nbits, emitted, obuf_n, bad = one_unit(
+                wpos, woff, lo, hi, nbits, emitted, obuf_n, bad, active)
+        # corrupt-stream overrun check, once per iteration: wpos grows by
+        # <= 4 words here and the word buffer has >= a full trailing zero
+        # slab, so a delayed detection never reads out of bounds
+        bad = bad | (wpos > n_words)
         return wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad
 
     def cond(carry):

@@ -74,7 +74,13 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
                      ctag_ref, ccnt_ref, cs0_ref, cn1_ref, cs1_ref, cn2_ref,
                      block_vmem, hash_ref, chain_ref, slot_ref,
                      sem_in, sem_blk, sem_oa, sem_ob,
-                     *, chunk_stride: int, max_chunks: int, block_rows: int):
+                     *, chunk_stride: int, max_chunks: int, block_rows: int,
+                     debug_flags: int = 0):
+    # debug_flags (diagnostic builds only): 1 = chain cache off,
+    # 2 = lazy-1 prefetch off, 4 = lazy probes off
+    DBG_NO_CACHE = bool(debug_flags & 1)
+    DBG_NO_PREFETCH = bool(debug_flags & 2)
+    DBG_NO_LAZY = bool(debug_flags & 4)
     ilen = meta_ref[0, 0, 0]
     max_tokens = meta_ref[0, 0, 1]
     chunk_units = meta_ref[0, 0, 2]
@@ -206,6 +212,8 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
             key = lctx * 8192 + lslot
             line = cache_line(key)
             hit = ctag_ref[0, line] == key
+            if DBG_NO_CACHE:
+                hit = jnp.bool_(False)
             e_cnt = ccnt_ref[0, line]
 
             @pl.when(~hit)
@@ -289,6 +297,8 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         key = ctx * 8192 + hslot
         line = cache_line(key)
         hit = ctag_ref[0, line] == key
+        if DBG_NO_CACHE:
+            hit = jnp.bool_(False)
         e_cnt = ccnt_ref[0, line]
         e_s0 = cs0_ref[0, line]
         e_w1 = cn1_ref[0, line]
@@ -334,11 +344,15 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         # walk's fetch chain (lazy1 fires on ~80% of e0 units; measured in
         # tools/sweep_tokenize.py counters)
         lazy_on = lazy1 > 0
+        if DBG_NO_PREFETCH:
+            lazy_on = jnp.bool_(False)
         lctx1 = sbyte(ipos, soff)
         _, lslot1 = hash4(ipos + 1, soff)
         lkey1 = lctx1 * 8192 + lslot1
         lline1 = cache_line(lkey1)
         lhit1 = ctag_ref[0, lline1] == lkey1
+        if DBG_NO_CACHE:
+            lhit1 = jnp.bool_(False)
         le_cnt1 = ccnt_ref[0, lline1]
         llvl0_1 = lhit1 & ((head_ref[0, lctx1] - le_cnt1) < 4096)
         lnode0_1 = le_cnt1 & 4095
@@ -472,6 +486,8 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
         pers_ref[7] = 0
         lazy_gate = found & (best_len < MATCH_MIN_LEN_ENABLE_LAZY)
+        if DBG_NO_LAZY:
+            lazy_gate = jnp.bool_(False)
 
         # short-circuit exactly as the reference does (libzling_lz.cpp:
         # 271,276: `kLazyMatch1Depth > 0 && MatchLazy(...)`): probe 2 is
@@ -484,7 +500,8 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         def _():
             pers_ref[7] = lazy_probe(
                 ipos + 1, best_len, lazy1, soff,
-                pre=(lhit1, llvl0_1, lnode0_1, lline1)).astype(jnp.int32)
+                pre=None if DBG_NO_PREFETCH
+                else (lhit1, llvl0_1, lnode0_1, lline1)).astype(jnp.int32)
 
         @pl.when(lazy_gate & (lazy2 > 0) & (pers_ref[7] == 0))
         def _():
@@ -526,9 +543,12 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         def unit_body(carry):
             ipos, soff, nu, nt, staged, err = carry
 
-            # slab: keep [ipos-1, ipos+LOOKAHEAD) resident
+            # slab: keep [ipos-2, ipos+LOOKAHEAD) resident -- the word-MRU
+            # update reads back to new_ipos-3 == ipos-2 on literal units, so
+            # basing the slab at ipos-1 would index slab_ref[0,-1] whenever
+            # a refill lands exactly on a 128-byte boundary
             need = ipos + LOOKAHEAD >= soff + SLAB_WORDS
-            nsoff = jnp.maximum(((ipos - 1) >> 7) << 7, 0)
+            nsoff = jnp.maximum(((ipos - 2) >> 7) << 7, 0)
 
             @pl.when(need)
             def _():
@@ -602,7 +622,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
             budget = jnp.where(ipos <= 1, nt < max_tokens, nt + 1 < max_tokens)
             return (ipos < ilen) & budget & (nu < chunk_units) & ~err
 
-        soff0 = jnp.maximum(((ipos - 1) >> 7) << 7, 0)
+        soff0 = jnp.maximum(((ipos - 2) >> 7) << 7, 0)
         load_slab(soff0)
         ipos, _soff, nu, nt, staged, err = jax.lax.while_loop(
             unit_cond, unit_body,
@@ -626,16 +646,18 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "chunk_stride",
-                                             "max_chunks", "block_rows"))
+                                             "max_chunks", "block_rows",
+                                             "debug_flags"))
 def _tokenize_call(meta, block_flat, interpret: bool = False,
                    chunk_stride: int = 0, max_chunks: int = 0,
-                   block_rows: int = 0):
+                   block_rows: int = 0, debug_flags: int = 0):
     # the host lane ships bytes as u8 (4x less tunnel traffic); widen here
     block_flat = block_flat.astype(jnp.int32)
     block2d = block_flat.reshape(block_rows, 128)
     kernel = pl.pallas_call(
         functools.partial(_tokenize_kernel, chunk_stride=chunk_stride,
-                          max_chunks=max_chunks, block_rows=block_rows),
+                          max_chunks=max_chunks, block_rows=block_rows,
+                          debug_flags=debug_flags),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((1, 8, 256), lambda i: (0, 0, 0),
