@@ -129,25 +129,29 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
 
         jax.lax.fori_loop(0, _srl((b & 127) + n + 127, 7), body, 0)
 
-    def body(carry):
-        (wpos, woff, lo, hi, nbits, emitted, opos, l1, l2, cur_row,
-         bad) = carry
+    def decode_sym(wpos, woff, lo, hi, nbits, bad, active):
+        """Decode ONE alphabet-1 symbol and consume its code length.
 
-        # payload slab refill (one word per unit max)
-        need = wpos >= woff + pslab_words
+        The loop decodes AHEAD (symbol n+1 resolves during unit n), so every
+        call is gated by ``active``: with active False no state changes and
+        the stream is not overrun at emitted == rlen.  Matchidx bits are NOT
+        consumed here -- the caller peeks them at offset 0 of the returned
+        reader (a unit consumes <= 15 + 8 + 8 = 31 bits total and the refill
+        keeps nbits >= 32 before the <= 15-bit consume, so >= 17 valid bits
+        remain for the matchidx peek).  Returns
+        (wpos, woff, lo, hi, nbits, t, bad).
+        """
+        need = active & (wpos >= woff + pslab_words)
 
         @pl.when(need)
         def _():
             load_pslab((wpos >> 7) << 7)
 
         woff = jnp.where(need, (wpos >> 7) << 7, woff)
-
-        # ---- bit-read one alphabet-1 symbol (+ matchidx when match)
-        # the loop enters with nbits = 64 and every refill restores
-        # nbits >= 32 before a <= 31-bit consume, so nbits >= 1 always and
-        # the nbits == 0 edge cases need no selects
-        w = pslab_ref[0, wpos - woff]
-        fill = nbits < 32
+        # clamp: with active False the frozen wpos can sit one word past the
+        # slab (refills happen check-before-load); the value is discarded
+        w = pslab_ref[0, jnp.minimum(wpos - woff, pslab_words - 1)]
+        fill = active & (nbits < 32)
         lo = jnp.where(fill, lo | (w << nbits), lo)
         hi = jnp.where(fill, _srl(w, 32 - nbits), hi)
         wpos = wpos + fill.astype(jnp.int32)
@@ -155,7 +159,7 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
 
         e = lut1_ref[0, _srl(lo & 0xFFF, 9), lo & 0x1FF]
 
-        @pl.when(e < 0)
+        @pl.when(active & (e < 0))
         def _():
             v = lo & 0x7FFF
             v = (_srl(v & 0xFF00, 8)) | ((v & 0x00FF) << 8)
@@ -176,39 +180,60 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
             pers_ref[1] = packed
 
         ev = jnp.where(e < 0, pers_ref[1], e)
-        bad = bad | (ev < 0)
+        bad = bad | (active & (ev < 0))
         ev = jnp.maximum(ev, 0)
         t = ev & 0xFFFF
-        hl1 = jnp.maximum(_srl(ev, 16) & 31, 1)
+        hl = jnp.maximum(_srl(ev, 16) & 31, 1)
+        lo2 = _srl(lo, hl) | (hi << (32 - hl))
+        hi2 = _srl(hi, hl)
+        lo = jnp.where(active, lo2, lo)
+        hi = jnp.where(active, hi2, hi)
+        nbits = nbits - jnp.where(active, hl, 0)
+        bad = bad | (active & (wpos > n_words))
+        return wpos, woff, lo, hi, nbits, t, bad
+
+    def resolve_unit(carry):
+        """Full resolve of one pending unit (head/literal/word/match)."""
+        (wpos, woff, lo, hi, nbits, emitted, opos, l1, l2, cur_row,
+         bad, t) = carry
 
         is_head = opos <= 1
         is_lit = ~is_head & (t < 256)
         is_word = ~is_head & (t >= 256) & (t < 258)
         is_match = ~is_head & (t >= 258)
 
+        # matchidx (code2 + extra bits) peeked at offset 0: decode_sym
+        # already consumed the alphabet-1 code length
         has_idx = is_match & (emitted + 1 < rlen)
         bad = bad | (is_match & ~has_idx)
-        p2 = _srl(lo, hl1) & 0xFF
+        p2 = lo & 0xFF
         e2 = lut2_ref[0, _srl(p2, 7), p2 & 0x7F]
         bad = bad | (has_idx & (e2 < 0))
         e2 = jnp.maximum(e2, 0)
         hl2 = e2 & 0xFF
         blen = _srl(e2, 8) & 0xFF
-        extra = _srl(lo, hl1 + hl2) & ((jnp.int32(1) << blen) - 1)
+        extra = _srl(lo, hl2) & ((jnp.int32(1) << blen) - 1)
         midx = _srl(e2, 16) + extra
 
-        nc = hl1 + jnp.where(has_idx, hl2 + blen, 0)
-        lo = _srl(lo, nc) | (hi << (32 - nc))
-        hi = _srl(hi, nc)
+        nc = jnp.where(has_idx, hl2 + blen, 0)
+        s = jnp.maximum(nc, 1)  # keep the 32-s shift defined when nc == 0
+        lo = jnp.where(has_idx, _srl(lo, s) | (hi << (32 - s)), lo)
+        hi = jnp.where(has_idx, _srl(hi, s), hi)
         nbits = nbits - nc
         emitted = emitted + 1 + has_idx.astype(jnp.int32)
-        bad = bad | (wpos > n_words)
 
         # ---- resolve the unit (ops/resolve_kernel.py logic, verbatim).
         # Schedule: the match path's ring extract issues FIRST, right after
         # the bit-read, so its ~140-cycle transfer overlaps the MTF/MRU SMEM
         # work below; the ring insert happens after the lookup (the cells
         # differ unless midx == 0, which is rejected as corrupt anyway).
+        # (Measured dead ends, round 3: pre-extracting the ring source one
+        # unit ahead in a pl.when region REGRESSED 261 -> 289 ns/token --
+        # a region's end forces its extract to complete, so the latency is
+        # paid at the previous unit's tail instead of overlapped; merging
+        # the tail-extract and copy regions was part of the same regression.
+        # Overlap only comes from unconditional straight-line code after the
+        # issuing region, which is exactly this layout.)
         ctx = l1
         rctx = jnp.where(is_head, 256, ctx)
         h = (head_ref[0, rctx] + 1) & 4095
@@ -321,14 +346,80 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         return (wpos, woff, lo, hi, nbits, emitted, new_opos, new_l1,
                 new_l2, cur_row, bad)
 
-    def cond(carry):
-        return (carry[5] < rlen) & ~carry[10]
+    def body(carry):
+        (wpos, woff, lo, hi, nbits, emitted, opos, l1, l2, cur_row,
+         bad) = resolve_unit(carry)
+        more = (emitted < rlen) & ~bad
+        wpos, woff, lo, hi, nbits, t2, bad = decode_sym(
+            wpos, woff, lo, hi, nbits, bad, more)
+        pend = jnp.where(more, t2, -1)
 
-    init = (jnp.int32(2), jnp.int32(0), pslab_ref[0, 0], pslab_ref[0, 1],
-            jnp.int32(64), jnp.int32(0), opos0, l1_0, l2_0, cur_row,
-            jnp.bool_(False))
+        # ---- literal fast loop.  Consecutive literal units (the majority
+        # of units at every level) run a minimal body -- ring insert, MTF
+        # swap, one byte store, word-MRU shift, decode-ahead -- skipping the
+        # match/word scaffolding (matchidx decode, copy machinery, staging
+        # reload) that the full body pays on every unit.  Semantics match
+        # resolve_unit's is_lit branch exactly (reference
+        # src/libzling_lz.cpp:327-337).
+        def lit_cond(c):
+            return (c[11] >= 0) & (c[11] < 256) & (c[6] >= 2) & ~c[10]
+
+        def lit_body(c):
+            (wpos, woff, lo, hi, nbits, emitted, opos, l1, l2, cur_row,
+             bad, t) = c
+            ctx = l1
+            h = (head_ref[0, ctx] + 1) & 4095
+            head_ref[0, ctx] = h
+            rrow = ctx * 32 + _srl(h, 7)
+            row = ring_ref[pl.ds(rrow, 1), :]
+            ring_ref[pl.ds(rrow, 1), :] = jnp.where(
+                IOTA == (h & 127), opos, row)
+
+            lit_byte = mtf_ref[0, ctx * 256 + t]
+            j = mtfnext_ref[0, t]
+            other = mtf_ref[0, ctx * 256 + j]
+            mtf_ref[0, ctx * 256 + t] = other
+            mtf_ref[0, ctx * 256 + j] = lit_byte
+
+            cur_row = jnp.where(IOTA == (opos & 127), lit_byte, cur_row)
+            full = (opos & 127) == 127
+
+            @pl.when(full)
+            def _():
+                out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
+
+            cur_row = jnp.where(full, 0, cur_row)
+
+            old0 = mru_ref[0, l2 * 2]
+            mru_ref[0, l2 * 2 + 1] = old0
+            mru_ref[0, l2 * 2] = ctx * 256 + lit_byte
+
+            opos = opos + 1
+            emitted = emitted + 1
+            bad = bad | (opos > encpos)
+            more = (emitted < rlen) & ~bad
+            wpos, woff, lo, hi, nbits, t2, bad = decode_sym(
+                wpos, woff, lo, hi, nbits, bad, more)
+            t = jnp.where(more, t2, -1)
+            return (wpos, woff, lo, hi, nbits, emitted, opos, lit_byte,
+                    ctx, cur_row, bad, t)
+
+        return jax.lax.while_loop(
+            lit_cond, lit_body,
+            (wpos, woff, lo, hi, nbits, emitted, opos, l1, l2, cur_row,
+             bad, pend))
+
+    def cond(carry):
+        return (carry[11] >= 0) & ~carry[10]
+
+    wpos0, woff0, lo0, hi0, nbits0, t0, bad0 = decode_sym(
+        jnp.int32(2), jnp.int32(0), pslab_ref[0, 0], pslab_ref[0, 1],
+        jnp.int32(64), jnp.bool_(False), rlen > 0)
+    pend0 = jnp.where(rlen > 0, t0, -1)
+    init = (wpos0, woff0, lo0, hi0, nbits0, jnp.int32(0), opos0, l1_0, l2_0,
+            cur_row, bad0, pend0)
     (wpos, _woff, _lo, _hi, nbits, emitted, opos, _l1, _l2, cur_row,
-     bad) = jax.lax.while_loop(cond, body, init)
+     bad, _pend) = jax.lax.while_loop(cond, body, init)
     bad = bad | (wpos * 32 - nbits > end_bits)
 
     out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
