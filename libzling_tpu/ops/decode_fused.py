@@ -215,38 +215,39 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         extra = _srl(lo, hl2) & ((jnp.int32(1) << blen) - 1)
         midx = _srl(e2, 16) + extra
 
+        # ---- resolve the unit (ops/resolve_kernel.py logic, verbatim).
+        # Schedule: the match path's two vector->scalar extract stages (ring
+        # source, then the three source-side tail bytes) run as UNCONDITIONAL
+        # value-domain extracts with clamped indices instead of pl.when
+        # regions: a region's end forces its extracts to complete (measured,
+        # DESIGN.md -1), while a value's ~140-cycle transfer overlaps every
+        # independent op between issue and first use -- here the bit
+        # consume/MTF/MRU SMEM work (ring source) and the puts + copy loop
+        # (tail bytes).  Non-match units pay a few discarded vector reads;
+        # most literals bypass this body through the fast loop anyway.
+        ctx = l1
+        rctx = jnp.where(is_head, 256, ctx)
+        h = (head_ref[0, rctx] + 1) & 4095
+        head_ref[0, rctx] = h
+
+        # flush the staging row so the source-side tail reads (and the copy)
+        # see every byte below opos; harmless for non-match units (bytes at
+        # >= opos lanes are rewritten before any reader sees them)
+        out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
+
+        # ring-source extract, issued before the consume/MTF work; the
+        # lookup cell (h - midx) differs from the insert cell h for every
+        # legal midx != 0 (midx == 0 is rejected as corrupt)
+        ls = (h - jnp.where(is_match, midx, 1)) & 4095
+        lrow = ring_ref[pl.ds(ctx * 32 + _srl(ls, 7), 1), :]
+        srcv = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
+
         nc = jnp.where(has_idx, hl2 + blen, 0)
         s = jnp.maximum(nc, 1)  # keep the 32-s shift defined when nc == 0
         lo = jnp.where(has_idx, _srl(lo, s) | (hi << (32 - s)), lo)
         hi = jnp.where(has_idx, _srl(hi, s), hi)
         nbits = nbits - nc
         emitted = emitted + 1 + has_idx.astype(jnp.int32)
-
-        # ---- resolve the unit (ops/resolve_kernel.py logic, verbatim).
-        # Schedule: the match path's ring extract issues FIRST, right after
-        # the bit-read, so its ~140-cycle transfer overlaps the MTF/MRU SMEM
-        # work below; the ring insert happens after the lookup (the cells
-        # differ unless midx == 0, which is rejected as corrupt anyway).
-        # (Measured dead ends, round 3: pre-extracting the ring source one
-        # unit ahead in a pl.when region REGRESSED 261 -> 289 ns/token --
-        # a region's end forces its extract to complete, so the latency is
-        # paid at the previous unit's tail instead of overlapped; merging
-        # the tail-extract and copy regions was part of the same regression.
-        # Overlap only comes from unconditional straight-line code after the
-        # issuing region, which is exactly this layout.)
-        ctx = l1
-        rctx = jnp.where(is_head, 256, ctx)
-        h = (head_ref[0, rctx] + 1) & 4095
-        head_ref[0, rctx] = h
-
-        @pl.when(is_match)
-        def _():
-            # flush the staging row so the source-side tail reads (and the
-            # copy) see every byte below opos
-            out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
-            ls = (h - midx) & 4095
-            lrow = ring_ref[pl.ds(ctx * 32 + _srl(ls, 7), 1), :]
-            pers_ref[2] = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
 
         rrow = jnp.where(is_head, RING_ROWS - 1, ctx * 32 + _srl(h, 7))
         row = ring_ref[pl.ds(rrow, 1), :]
@@ -264,7 +265,7 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         b0 = _srl(wv, 8) & 255
         b1 = wv & 255
 
-        src = jnp.where(is_match, pers_ref[2], 1)
+        src = jnp.where(is_match, srcv, 1)
         bad = bad | (is_match & ((midx == 0) | (src == 0) | (src >= opos)))
 
         eb0 = jnp.where(is_head, t & 255, jnp.where(is_lit, lit_byte, b0))
@@ -290,22 +291,20 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         # tail bytes from the SOURCE side: out[opos+k] == out[src+k%delta]
         # for k >= 0 (an overlapping copy replicates the delta-period
         # pattern), and src + (mlen-j)%delta < opos is already-written
-        # content.  The three extracts are independent, issue together, and
-        # their ~140-cycle latency hides under the copy's vector work (the
-        # old form read new_opos-3 AFTER the copy: a dependent chain on
-        # every match).
-        @pl.when(mlen > 0)
-        def _():
-            p1 = src + jax.lax.rem(mlen - 1, delta)
-            p2 = src + jax.lax.rem(mlen - 2, delta)
-            p3 = src + jax.lax.rem(mlen - 3, delta)
-            r1 = out_vmem[pl.ds(_srl(p1, 7), 1), :]
-            r2 = out_vmem[pl.ds(_srl(p2, 7), 1), :]
-            r3 = out_vmem[pl.ds(_srl(p3, 7), 1), :]
-            b1v = jnp.sum(jnp.where(IOTA == (p1 & 127), r1, 0))
-            b2v = jnp.sum(jnp.where(IOTA == (p2 & 127), r2, 0))
-            b3v = jnp.sum(jnp.where(IOTA == (p3 & 127), r3, 0))
-            pers_ref[3] = (b3v << 16) | (b2v << 8) | b1v
+        # content.  Unconditional value-domain extracts (indices clamped
+        # in-bounds for the non-match/corrupt cases, values then discarded);
+        # issued right before the copy region so its vector work fills their
+        # latency, consumed only after it.
+        pmax = OUT_ROWS * 128 - 1
+        p1 = jnp.clip(src + jax.lax.rem(mlen - 1, delta), 0, pmax)
+        p2 = jnp.clip(src + jax.lax.rem(mlen - 2, delta), 0, pmax)
+        p3 = jnp.clip(src + jax.lax.rem(mlen - 3, delta), 0, pmax)
+        r1 = out_vmem[pl.ds(_srl(p1, 7), 1), :]
+        r2 = out_vmem[pl.ds(_srl(p2, 7), 1), :]
+        r3 = out_vmem[pl.ds(_srl(p3, 7), 1), :]
+        b1v = jnp.sum(jnp.where(IOTA == (p1 & 127), r1, 0))
+        b2v = jnp.sum(jnp.where(IOTA == (p2 & 127), r2, 0))
+        b3v = jnp.sum(jnp.where(IOTA == (p3 & 127), r3, 0))
 
         @pl.when(mlen > 0)
         def _():
@@ -321,10 +320,9 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
 
         new_opos = opos + jnp.where(is_match, mlen, n_simple)
 
-        packed_tail = jnp.where(is_match, pers_ref[3], 0)
-        cb1 = packed_tail & 255
-        cb2 = _srl(packed_tail, 8) & 255
-        cb3 = _srl(packed_tail, 16) & 255
+        cb1 = jnp.where(is_match, b1v, 0) & 255
+        cb2 = jnp.where(is_match, b2v, 0) & 255
+        cb3 = jnp.where(is_match, b3v, 0) & 255
 
         reload = out_vmem[
             pl.ds(jnp.where(is_match, _srl(new_opos, 7), 0), 1), :]
