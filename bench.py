@@ -146,6 +146,21 @@ def main() -> None:
         except Exception:
             pass
         try:
+            # literal-path floor: all-literal (incompressible) stream through
+            # the fused decoder's literal-run fast loop
+            log("device decode, all-literal stream...")
+            r = subprocess.run(
+                [sys.executable, str(REPO / "tools" / "bench_device_decode.py"),
+                 "--mb", "8", "--random"], capture_output=True, text=True,
+                timeout=1200)
+            for line in r.stdout.splitlines():
+                if line.startswith("kernel:"):
+                    results["tpu"]["decode_kernel_mbps_random_8MB"] = float(
+                        line.split("->")[1].split("MB/s")[0])
+                    log("  " + line.strip())
+        except Exception:
+            pass
+        try:
             # standing compiled-mode golden gate: full-corpus encode through
             # the public API's tpu backend (Pallas tokenizer + MTF relabel
             # kernel at canonical 16 MB geometry), byte-identical to the

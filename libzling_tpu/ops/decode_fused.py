@@ -10,6 +10,12 @@ resolve chain) and the oracle this kernel is tested against.
 All structural comments live in the two source kernels; this file composes
 them (same reference citations: bit reader src/libzling.cpp:368-402, resolve
 src/libzling_lz.cpp:318-399, state lifetimes SURVEY.md section 0).
+
+Measured on the v5e (round 3, kernel-only, inputs device-resident): 257
+ns/token = 11.5 MB/s on 32 MB markov e0; 143 ns/token = 7.0 MB/s on
+all-literal (incompressible) streams via the literal-run fast loop.  The
+body issues ~1 op/cycle with no stalls (DESIGN.md section -1), so gains
+come from removing ops from the common path, not from rescheduling.
 """
 
 from __future__ import annotations

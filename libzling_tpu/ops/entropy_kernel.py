@@ -20,10 +20,10 @@ kernel uses:
     DMA bursts at provably 128-aligned offsets (Mosaic requires alignment
     proofs for dynamic DMA offsets; see pl.multiple_of below).
 
-Measured on the v5e (round 2): ~10.3 M tok/s end-to-end at 32 MB
-(two-unit unrolled loop, ~45-60 cycles/unit in-kernel, tables built on
-device; best-of-N timing -- the tunnel adds 2-3x run variance).  ~50x the
-measured XLA formulation for this stage.
+Measured on the v5e: 10.3 M tok/s round 2 (two-unit unrolled loop); 11.1 M
+tok/s round 3 (FOUR-unit unrolled loop, 32.7 MB/s of input at 32 MB, tables
+built on device; best-of-N timing -- the tunnel adds 2-3x run variance).
+~50x the measured XLA formulation for this stage.
 
 Verified bit-exact against the native oracle BOTH in interpreter mode
 (tests/test_entropy_kernel.py: slab-refill, burst-flush, leftover-carry and
