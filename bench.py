@@ -211,13 +211,14 @@ def main() -> None:
         except Exception:
             pass
 
-    # counters A/B: the native engine rebuilt with the match-loop debug
-    # counters compiled out (ZLT_NOCNT), same corpus/level -- quantifies the
-    # always-on counter cost against the headline host number
+    # counters A/B + observability: the default engine build compiles the
+    # match-loop debug counters OUT (reference LIBZLING_DEBUG=0 analog;
+    # measured ~7% on e0 encode).  A ZLT_COUNTERS=1 subprocess times the
+    # counters-in build AND collects the counter values for the report.
     try:
-        log("host e0 with counters compiled out (ZLT_NOCNT=1)...")
+        log("host e0 with counters compiled in (ZLT_COUNTERS=1)...")
         code = f"""
-import sys, time
+import json, sys, time
 sys.path.insert(0, {str(REPO)!r})
 from libzling_tpu import pipeline
 data = open({str(data_path)!r}, 'rb').read()
@@ -227,22 +228,29 @@ for _ in range(2):
     t0 = time.perf_counter()
     pipeline.encode(data, 0)
     best = min(best, time.perf_counter() - t0)
-print('nocnt:', len(data) / best / 1e6)
+print('withcnt:', len(data) / best / 1e6)
+print('counters:', json.dumps(pipeline.counters()))
 """
-        env = dict(os.environ, ZLT_NOCNT="1")
+        env = dict(os.environ, ZLT_COUNTERS="1")
         r = subprocess.run([sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, timeout=600)
         for line in r.stdout.splitlines():
-            if line.startswith("nocnt:"):
-                results["counters_off_enc_mbps_e0"] = round(
+            if line.startswith("withcnt:"):
+                results["counters_on_enc_mbps_e0"] = round(
                     float(line.split()[1]), 1)
-                log(f"  {results['counters_off_enc_mbps_e0']} MB/s")
+                log(f"  {results['counters_on_enc_mbps_e0']} MB/s")
+            elif line.startswith("counters:"):
+                results["counters"] = json.loads(
+                    line.split(":", 1)[1])
     except Exception:
         pass
 
-    # match-loop observability (reference debug-counter analog)
+    # host metrics registry (level drops, schedule mispredicts) from the
+    # main process's own runs
     try:
-        results["counters"] = pipeline.counters()
+        results.setdefault("counters", {}).update(
+            __import__("libzling_tpu.utils.metrics", fromlist=["registry"])
+            .registry.snapshot()["counters"])
     except Exception:
         pass
 

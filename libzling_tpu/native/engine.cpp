@@ -311,7 +311,8 @@ struct Tokenizer {
   MtfState* mtf;
   // debug counters (reference gates these at compile time,
   // src/libzling_debug.h:38-49 + call sites src/libzling_lz.cpp:226-287;
-  // here they are always-on: ~1%% of the match loop):
+  // compiled out by default like the reference -- measured ~7% of e0
+  // encode -- and enabled by the ZLT_COUNTERS=1 build):
   // [0] bucket updates  [1] chain steps   [2] match succ  [3] match fail
   // [4] lazy skips      [5] word-MRU hits [6] literals    [7] match bytes
   unsigned long long cnt[8] = {};

@@ -25,9 +25,13 @@ _DEC_HANDLE = None
 
 
 def _build() -> pathlib.Path:
-    # ZLT_NOCNT=1 builds with the match-loop debug counters compiled out
-    # (the reference's LIBZLING_DEBUG analog) for counter-cost A/B runs
-    nocnt = os.environ.get("ZLT_NOCNT", "") == "1"
+    # The match-loop debug counters are compiled OUT by default, matching
+    # the reference's LIBZLING_DEBUG=0 (src/libzling_debug.h:38): measured
+    # cost is ~7% on e0 encode (100.2 vs 107.4 MB/s, 100 MB markov).
+    # ZLT_COUNTERS=1 builds with them in (bench.py collects counters from
+    # such a run); the legacy ZLT_NOCNT=1 still forces them out.
+    nocnt = not (os.environ.get("ZLT_COUNTERS", "") == "1"
+                 and os.environ.get("ZLT_NOCNT", "") != "1")
     src = _SRC.read_bytes()
     tag = hashlib.sha256(src + (b"nocnt" if nocnt else b"")).hexdigest()[:16]
     out_dir = _REPO / "build" / "native"
