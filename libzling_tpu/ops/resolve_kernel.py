@@ -295,6 +295,69 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
 
         bad = bad | (new_opos > encpos)
         tpos = tpos + 1 + is_match.astype(jnp.int32)
+
+        # ---- literal fast loop (mirrors ops/decode_fused.py): consecutive
+        # literal tokens run a minimal body -- ring insert, MTF swap, one
+        # byte store, word-MRU shift -- with ZERO vector->scalar transfers,
+        # skipping the match/word scaffolding the full body pays.  The
+        # pending token is peeked with its own slab refill so the loop
+        # condition never reads past the resident slab.
+        def peek(tpos, toff, bad):
+            more = (tpos < rlen) & ~bad
+            need = more & (tpos >= toff + slab_tokens)
+
+            @pl.when(need)
+            def _():
+                load_slab((tpos >> 7) << 7)
+
+            toff = jnp.where(need, (tpos >> 7) << 7, toff)
+            tv = slab_ref[0, jnp.minimum(tpos - toff, slab_tokens - 1)]
+            return toff, jnp.where(more, tv, -1)
+
+        toff, pend = peek(tpos, toff, bad)
+
+        def lit_cond(c):
+            return (c[7] >= 0) & (c[7] < 256) & (c[2] >= 2) & ~c[6]
+
+        def lit_body(c):
+            tpos, toff, opos, l1, l2, cur_row, bad, t = c
+            lctx = l1
+            lh = (head_ref[0, lctx] + 1) & 4095
+            head_ref[0, lctx] = lh
+            lrow2 = lctx * 32 + _srl(lh, 7)
+            row2 = ring_ref[pl.ds(lrow2, 1), :]
+            ring_ref[pl.ds(lrow2, 1), :] = jnp.where(
+                IOTA == (lh & 127), opos, row2)
+
+            lb = mtf_ref[0, lctx * 256 + t]
+            jj = mtfnext_ref[0, t]
+            oth = mtf_ref[0, lctx * 256 + jj]
+            mtf_ref[0, lctx * 256 + t] = oth
+            mtf_ref[0, lctx * 256 + jj] = lb
+
+            cur_row = jnp.where(IOTA == (opos & 127), lb, cur_row)
+            full = (opos & 127) == 127
+
+            @pl.when(full)
+            def _():
+                out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
+
+            cur_row = jnp.where(full, 0, cur_row)
+
+            old0 = mru_ref[0, l2 * 2]
+            mru_ref[0, l2 * 2 + 1] = old0
+            mru_ref[0, l2 * 2] = lctx * 256 + lb
+
+            opos = opos + 1
+            tpos = tpos + 1
+            bad = bad | (opos > encpos)
+            toff, t2 = peek(tpos, toff, bad)
+            return (tpos, toff, opos, lb, lctx, cur_row, bad, t2)
+
+        (tpos, toff, new_opos, new_l1, new_l2, cur_row, bad, _p) = \
+            jax.lax.while_loop(lit_cond, lit_body,
+                               (tpos, toff, new_opos, new_l1, new_l2,
+                                cur_row, bad, pend))
         return tpos, toff, new_opos, new_l1, new_l2, cur_row, bad
 
     def cond(carry):
