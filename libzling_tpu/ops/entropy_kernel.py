@@ -184,37 +184,37 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
                          slab_ref, obuf_ref, fb_ref, sem_in, sem_out,
                          *, slab_words: int, flush_tokens: int,
                          out_tokens: int):
+    # Each grid step decodes a PAIR of chunks with their two serial
+    # bit-reader chains interleaved: chunks are entropy-independent (own
+    # tables and payload, reference src/libzling.cpp:212-229), and the unit
+    # body's dependent SMEM-load chain (lut -> length -> shift -> next lut
+    # address) leaves the scalar core stalled for roughly a third of each
+    # unit -- the second chunk's independent chain fills those slots.
+    # (Measured: 11.1 M tok/s single-chain 4-unit loop -> see DESIGN.md -1
+    # for the paired number.)  All per-chunk refs carry a leading pair axis.
     c = pl.program_id(0)
-    out_base = c * out_tokens
-    n_words = meta_ref[0, 0, 0]
-    rlen = meta_ref[0, 0, 1]
-    word_base = meta_ref[0, 0, 2]
-    end_bits = n_words * 32
-
-    def load_slab(woff):
-        # woff is chunk-relative, 128-word aligned by construction
-        src = pl.multiple_of(word_base + woff, 128)
-        cp = pltpu.make_async_copy(words_ref.at[0, pl.ds(src, slab_words)],
-                                   slab_ref.at[0, :], sem_in)
-        cp.start()
-        cp.wait()
-
-    load_slab(0)
 
     # The bit reader is a 64-bit accumulator in two 32-bit registers (lo, hi)
     # with `nbits` valid bits counted from lo's LSB (bits above nbits are
     # zero).  One unit consumes at most 15 + 8 + 8 = 31 bits, so topping up
-    # to >= 32 bits once per unit keeps every peek inside lo -- this replaces
-    # the previous three windowed SMEM loads per unit with register ops.
-    # The loop decodes FOUR units per iteration so the loop/slab/flush
-    # overhead (~25 cycles) amortizes; units 2..4 are select-gated once the
-    # chunk is finished.  The loop starts with nbits = 64 and every refill
-    # restores nbits >= 32 before consuming <= 31, so nbits >= 1 always:
-    # the nbits == 0 edge cases need no selects.
+    # to >= 32 bits once per unit keeps every peek inside lo.  The loop
+    # starts with nbits = 64 and every refill restores nbits >= 32 before
+    # consuming <= 31, so nbits >= 1 always: the nbits == 0 edge cases need
+    # no selects.  Each pair member decodes TWO units per iteration
+    # (4 units/iteration total, matching the single-chain unroll).
 
-    def one_unit(wpos, woff, lo, hi, nbits, emitted, obuf_n, bad, active):
+    def load_slab(k, word_base, woff):
+        # woff is chunk-relative, 128-word aligned by construction
+        src = pl.multiple_of(word_base + woff, 128)
+        cp = pltpu.make_async_copy(words_ref.at[0, pl.ds(src, slab_words)],
+                                   slab_ref.at[k, :], sem_in)
+        cp.start()
+        cp.wait()
+
+    def one_unit(k, rlen, wpos, woff, lo, hi, nbits, emitted, obuf_n, bad,
+                 active):
         # refill the accumulator (at most one word per unit)
-        w = slab_ref[0, wpos - woff]
+        w = slab_ref[k, wpos - woff]
         fill = active & (nbits < 32)
         lo = jnp.where(fill, lo | (w << nbits), lo)
         hi = jnp.where(fill, _srl(w, 32 - nbits), hi)
@@ -224,7 +224,7 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         # alphabet-1 symbol via the 12-bit LUT; codes of 13..15 bits take
         # the canonical tier-compare fallback, branch-gated with pl.when so
         # the (rare) path costs the hot loop only a compare + one SMEM load
-        e = lut1_ref[0, _srl(lo & 0xFFF, 9), lo & 0x1FF]
+        e = lut1_ref[k, _srl(lo & 0xFFF, 9), lo & 0x1FF]
 
         @pl.when(active & (e < 0))
         def _():
@@ -238,16 +238,16 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
             packed = jnp.int32(-1)
             for l in range(LUT_BITS + 1, HUFFMAN_MAX_LEN_1 + 1):
                 top = _srl(v15, HUFFMAN_MAX_LEN_1 - l)
-                s = meta_ref[0, 1, l]
-                cnt = meta_ref[0, 2, l]
+                s = meta_ref[k, 1, l]
+                cnt = meta_ref[k, 2, l]
                 hit = (packed < 0) & (top >= s) & (top < s + cnt)
-                pos = jnp.clip(jnp.where(hit, meta_ref[0, 3, l] + top - s, 0),
+                pos = jnp.clip(jnp.where(hit, meta_ref[k, 3, l] + top - s, 0),
                                0, 1023)
-                cand = order_ref[0, _srl(pos, 7), pos & 127]
+                cand = order_ref[k, _srl(pos, 7), pos & 127]
                 packed = jnp.where(hit, cand | (l << 16), packed)
-            fb_ref[0] = packed
+            fb_ref[k] = packed
 
-        ev = jnp.where(e < 0, fb_ref[0], e)
+        ev = jnp.where(e < 0, fb_ref[k], e)
         bad = bad | (active & (ev < 0))
         ev = jnp.maximum(ev, 0)
         sym = ev & 0xFFFF
@@ -257,7 +257,7 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         # offsets l1 and l1+l2 (l1+l2+blen <= 31 < nbits)
         is_match = (sym >= 258) & (emitted + 1 < rlen)
         p2 = _srl(lo, l1) & 0xFF
-        e2 = lut2_ref[0, _srl(p2, 7), p2 & 0x7F]
+        e2 = lut2_ref[k, _srl(p2, 7), p2 & 0x7F]
         bad = bad | (active & is_match & (e2 < 0))
         e2 = jnp.maximum(e2, 0)
         l2 = e2 & 0xFF
@@ -273,26 +273,27 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         lo = jnp.where(active, lo2, lo)
         hi = jnp.where(active, hi2, hi)
         nbits = nbits - jnp.where(active, nc, 0)
-        obuf_ref[0, obuf_n] = sym
-        obuf_ref[0, obuf_n + 1] = idxtok
+        obuf_ref[k, obuf_n] = sym
+        obuf_ref[k, obuf_n + 1] = idxtok
         adv = jnp.where(active, 1 + is_match.astype(jnp.int32), 0)
         obuf_n = obuf_n + adv
         emitted = emitted + adv
         return wpos, lo, hi, nbits, emitted, obuf_n, bad
 
-    def body(carry):
-        wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad = carry
+    def chunk_pre(k, n_words, rlen, word_base, out_base, st):
+        """Per-iteration slab refill + output burst for pair member k."""
+        wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad = st
 
-        # keep the slab covering the next FOUR words (one refill per unit)
-        need = wpos + 3 >= woff + slab_words
+        # keep the slab covering the next TWO words (one refill per unit)
+        need = wpos + 1 >= woff + slab_words
 
         @pl.when(need)
         def _():
-            load_slab((wpos >> 7) << 7)
+            load_slab(k, word_base, (wpos >> 7) << 7)
 
         woff = jnp.where(need, (wpos >> 7) << 7, woff)
 
-        # drain the token buffer in aligned bursts (up to 8 tokens/iter)
+        # drain the token buffer in aligned bursts (up to 4 tokens/iter)
         do_flush = obuf_n >= flush_tokens
 
         @pl.when(do_flush)
@@ -300,58 +301,84 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
             # out is flat [1, C * out_tokens]: single-row slices of tiled 2-D
             # HBM arrays are not DMA-able (sublane tiling), flat offsets are
             dst = pl.multiple_of(out_base + nflushed * flush_tokens, 128)
-            cp = pltpu.make_async_copy(obuf_ref.at[0, pl.ds(0, flush_tokens)],
+            cp = pltpu.make_async_copy(obuf_ref.at[k, pl.ds(0, flush_tokens)],
                                        out_ref.at[0, pl.ds(dst, flush_tokens)],
                                        sem_out)
             cp.start()
             cp.wait()
             # carry any leftover tokens (slots beyond obuf_n are garbage and
             # get overwritten or never read)
-            for k in range(8):
-                obuf_ref[0, k] = obuf_ref[0, flush_tokens + k]
+            for q in range(8):
+                obuf_ref[k, q] = obuf_ref[k, flush_tokens + q]
 
         nflushed = nflushed + do_flush.astype(jnp.int32)
         obuf_n = jnp.where(do_flush, obuf_n - flush_tokens, obuf_n)
+        return (wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad)
 
-        wpos, lo, hi, nbits, emitted, obuf_n, bad = one_unit(
-            wpos, woff, lo, hi, nbits, emitted, obuf_n, bad, jnp.bool_(True))
-        for _ in range(3):
+    def chunk_units(k, n_words, rlen, st):
+        wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad = st
+        for _ in range(2):
             active = (emitted < rlen) & ~bad
             wpos, lo, hi, nbits, emitted, obuf_n, bad = one_unit(
-                wpos, woff, lo, hi, nbits, emitted, obuf_n, bad, active)
+                k, rlen, wpos, woff, lo, hi, nbits, emitted, obuf_n, bad,
+                active)
         # corrupt-stream overrun check, once per iteration: wpos grows by
-        # <= 4 words here and the word buffer has >= a full trailing zero
+        # <= 2 words here and the word buffer has >= a full trailing zero
         # slab, so a delayed detection never reads out of bounds
         bad = bad | (wpos > n_words)
-        return wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad
+        return (wpos, woff, lo, hi, nbits, emitted, obuf_n, nflushed, bad)
+
+    n_words = [meta_ref[k, 0, 0] for k in range(2)]
+    rlen = [meta_ref[k, 0, 1] for k in range(2)]
+    word_base = [meta_ref[k, 0, 2] for k in range(2)]
+    out_base = [(c * 2 + k) * out_tokens for k in range(2)]
+
+    for k in range(2):
+        load_slab(k, word_base[k], 0)
+
+    def body(carry):
+        sa, sb = carry[:9], carry[9:]
+        sa = chunk_pre(0, n_words[0], rlen[0], word_base[0], out_base[0], sa)
+        sb = chunk_pre(1, n_words[1], rlen[1], word_base[1], out_base[1], sb)
+        # both members' unit chains sit in one straight-line block so the
+        # scheduler interleaves their independent dependency chains
+        sa = chunk_units(0, n_words[0], rlen[0], sa)
+        sb = chunk_units(1, n_words[1], rlen[1], sb)
+        return sa + sb
 
     def cond(carry):
-        emitted, bad = carry[5], carry[8]
-        return (emitted < rlen) & ~bad
+        live_a = (carry[5] < rlen[0]) & ~carry[8]
+        live_b = (carry[14] < rlen[1]) & ~carry[17]
+        return live_a | live_b
 
-    init = (jnp.int32(2), jnp.int32(0), slab_ref[0, 0], slab_ref[0, 1],
-            jnp.int32(64), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            jnp.bool_(False))
-    wpos, _woff, _lo, _hi, nbits, emitted, obuf_n, nflushed, bad = \
-        jax.lax.while_loop(cond, body, init)
-    bit_pos = wpos * 32 - nbits
-    bad = bad | (bit_pos > end_bits)
+    def init(k):
+        return (jnp.int32(2), jnp.int32(0), slab_ref[k, 0], slab_ref[k, 1],
+                jnp.int32(64), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.bool_(False))
 
-    # final flush: one full burst starting at the last aligned boundary
-    # (trailing entries beyond obuf_n are garbage; out has OUT_PAD slack)
-    @pl.when(obuf_n > 0)
-    def _():
-        dst = pl.multiple_of(out_base + nflushed * flush_tokens, 128)
-        cp = pltpu.make_async_copy(obuf_ref.at[0, pl.ds(0, flush_tokens)],
-                                   out_ref.at[0, pl.ds(dst, flush_tokens)],
-                                   sem_out)
-        cp.start()
-        cp.wait()
+    final = jax.lax.while_loop(cond, body, init(0) + init(1))
 
-    status_ref[0, 0, 0] = emitted
-    status_ref[0, 0, 1] = bit_pos
-    status_ref[0, 0, 2] = bad.astype(jnp.int32)
-    status_ref[0, 0, 3] = nflushed
+    for k in range(2):
+        wpos, _woff, _lo, _hi, nbits, emitted, obuf_n, nflushed, bad = \
+            final[9 * k: 9 * k + 9]
+        bit_pos = wpos * 32 - nbits
+        bad = bad | (bit_pos > n_words[k] * 32)
+
+        # final flush: one full burst starting at the last aligned boundary
+        # (trailing entries beyond obuf_n are garbage; out has OUT_PAD slack)
+        @pl.when(obuf_n > 0)
+        def _(k=k, nflushed=nflushed):
+            dst = pl.multiple_of(out_base[k] + nflushed * flush_tokens, 128)
+            cp = pltpu.make_async_copy(obuf_ref.at[k, pl.ds(0, flush_tokens)],
+                                       out_ref.at[0, pl.ds(dst, flush_tokens)],
+                                       sem_out)
+            cp.start()
+            cp.wait()
+
+        status_ref[k, 0, 0] = emitted
+        status_ref[k, 0, 1] = bit_pos
+        status_ref[k, 0, 2] = bad.astype(jnp.int32)
+        status_ref[k, 0, 3] = nflushed
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -359,32 +386,32 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
 def _decode_call(meta, order1, lut1, lut2, words, interpret: bool = False,
                  slab_words: int = SLAB_WORDS, flush_tokens: int = FLUSH_TOKENS,
                  max_tokens: int = MAX_TOKENS):
-    C = meta.shape[0]
+    C = meta.shape[0]  # even (decode_chunks pads with an rlen=0 dummy)
     out_tokens = max_tokens + 2 * flush_tokens
-    grid = (C,)
+    grid = (C // 2,)
     kernel = pl.pallas_call(
         functools.partial(_decode_chunk_kernel, slab_words=slab_words,
                           flush_tokens=flush_tokens, out_tokens=out_tokens),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, 512), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 8, 512), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, C * out_tokens), jnp.int32),
             jax.ShapeDtypeStruct((C, 8, 128), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.SMEM((1, slab_words), jnp.int32),
-            pltpu.SMEM((1, flush_tokens + 8), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2, slab_words), jnp.int32),
+            pltpu.SMEM((2, flush_tokens + 8), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -406,8 +433,20 @@ def decode_chunks(len1: np.ndarray, len2: np.ndarray, payloads: list[bytes],
     [C, 8, 128]: [c,0,0]=emitted, [c,0,1]=bits consumed, [c,0,2]=bad).
     """
     C = len(payloads)
-    word_base = np.zeros(C, np.int32)
-    n_words = np.zeros(C, np.int32)
+    # the kernel decodes chunk PAIRS: pad odd counts with an rlen=0 dummy
+    # (its member does nothing; results are sliced back to C below)
+    len1 = np.asarray(len1, np.int32)
+    len2 = np.asarray(len2, np.int32)
+    rlens = np.asarray(rlens, np.int32)
+    payloads = list(payloads)
+    if C % 2:
+        payloads.append(b"")
+        len1 = np.concatenate([len1, len1[:1]])
+        len2 = np.concatenate([len2, len2[:1]])
+        rlens = np.concatenate([rlens, np.zeros(1, np.int32)])
+    Cp = len(payloads)
+    word_base = np.zeros(Cp, np.int32)
+    n_words = np.zeros(Cp, np.int32)
     flat = []
     base = 0
     for i, p in enumerate(payloads):
@@ -423,12 +462,11 @@ def decode_chunks(len1: np.ndarray, len2: np.ndarray, payloads: list[bytes],
     words = np.concatenate(flat).view("<u4").astype(np.int32)
 
     meta, order1, lut1, lut2 = build_chunk_tables(
-        jnp.asarray(np.asarray(len1, np.int32)),
-        jnp.asarray(np.asarray(len2, np.int32)),
+        jnp.asarray(len1), jnp.asarray(len2),
         jnp.asarray(n_words), jnp.asarray(word_base),
-        jnp.asarray(np.asarray(rlens, np.int32)))
+        jnp.asarray(rlens))
     tokens, status = _decode_call(
         meta, order1, lut1, lut2, jnp.asarray(words[None, :]),
         interpret=interpret, slab_words=slab_words,
         flush_tokens=flush_tokens, max_tokens=max_tokens)
-    return tokens, status
+    return tokens[:C], status[:C]
