@@ -64,6 +64,24 @@ def bench_reference(data_path: pathlib.Path, level: int):
             "bytes": size}
 
 
+def emit(results: dict) -> None:
+    """Print the one-line headline JSON.  Called as soon as the host table
+    exists AND again after the optional device sections: the driver takes
+    the last complete JSON line, so a kill during the device work still
+    leaves a recorded headline (round-3 lesson: BENCH_r03 was rc=124 with
+    parsed: null because the only print sat at the very end)."""
+    e0 = results["levels"]["e0"]
+    base = results["reference"].get("e0", {}).get("enc_mbps")
+    vs = round(e0["enc_mbps"] / base, 3) if base else None
+    print(json.dumps({
+        "metric": "encode_throughput_e0_100MB_markov",
+        "value": e0["enc_mbps"],
+        "unit": "MB/s",
+        "vs_baseline": vs,
+        "detail": results,
+    }), flush=True)
+
+
 def main() -> None:
     from tools.make_corpus import cached_corpus
 
@@ -108,6 +126,11 @@ def main() -> None:
             f"ratio {results['levels'][f'e{level}']['ratio_pct']}%"
             + (" (bit-exact)" if level <= 4 else " (extended level)"))
 
+    # the host table is the headline: record it NOW, before any device work
+    # (a wedged tunnel or over-budget device section must not cost the round
+    # its benchmark artifact)
+    emit(results)
+
     # report the accelerator if it responds; the axon tunnel can wedge for
     # minutes, and jax.devices() HANGS rather than raising, so probe it in a
     # disposable subprocess with a hard timeout
@@ -124,92 +147,118 @@ def main() -> None:
 
     # on-device codec metrics (Pallas kernels on the real chip), in
     # disposable subprocesses so a wedged tunnel cannot hang the bench;
-    # compiles are served from build/jaxcache after the first round
+    # compiles are served from build/jaxcache after the first round.
+    # TOTAL device-section budget (round-3 lesson: per-section timeouts
+    # alone let one slow step starve the whole artifact); sections are
+    # ordered cheap/high-value first and each gets min(cap, remaining).
     results["tpu"] = {}
+    device_deadline = time.monotonic() + float(
+        os.environ.get("ZLT_DEVICE_BUDGET_S", "900"))
+
+    def budget(cap: float) -> float:
+        """Remaining device budget clipped to the section cap; <=0 → skip."""
+        return min(cap, device_deadline - time.monotonic())
+
     if device:
-        try:
-            log("device decode (fused Pallas kernel)...")
-            r = subprocess.run(
-                [sys.executable, str(REPO / "tools" / "bench_device_decode.py"),
-                 "--mb", "32"], capture_output=True, text=True, timeout=1200)
-            for line in r.stdout.splitlines():
-                if line.startswith("warm e2e:"):
-                    results["tpu"]["decode_mbps_e0_32MB"] = float(
-                        line.split("->")[1].split("MB/s")[0])
-                    log("  " + line.strip())
-                elif line.startswith("kernel:"):
-                    # kernel-only rate (inputs device-resident; excludes the
-                    # ~28 ms-RTT tunnel transfers -- the deployment number)
-                    results["tpu"]["decode_kernel_mbps_e0_32MB"] = float(
-                        line.split("->")[1].split("MB/s")[0])
-                    log("  " + line.strip())
-        except Exception:
-            pass
-        try:
-            # literal-path floor: all-literal (incompressible) stream through
-            # the fused decoder's literal-run fast loop
-            log("device decode, all-literal stream...")
-            r = subprocess.run(
-                [sys.executable, str(REPO / "tools" / "bench_device_decode.py"),
-                 "--mb", "8", "--random"], capture_output=True, text=True,
-                timeout=1200)
-            for line in r.stdout.splitlines():
-                if line.startswith("kernel:"):
-                    results["tpu"]["decode_kernel_mbps_random_8MB"] = float(
-                        line.split("->")[1].split("MB/s")[0])
-                    log("  " + line.strip())
-        except Exception:
-            pass
-        try:
-            # standing compiled-mode golden gate: full-corpus encode through
-            # the public API's tpu backend (Pallas tokenizer + MTF relabel
-            # kernel at canonical 16 MB geometry), byte-identical to the
-            # reference-golden host pipeline
-            log("device encode (public API tpu backend, 100 MB golden)...")
-            r = subprocess.run(
-                [sys.executable, str(REPO / "tools" / "bench_device_api.py"),
-                 "--mb", "100"], capture_output=True, text=True, timeout=3000)
-            verified = any(line.startswith("bit-exact PASS")
-                           for line in r.stdout.splitlines())
-            results["tpu"]["encode_api_bitexact_100MB"] = verified
-            for line in r.stdout.splitlines():
-                if line.startswith("warm:"):
-                    results["tpu"]["encode_api_mbps_e0_100MB"] = float(
-                        line.split("->")[1].split("MB/s")[0])
-                    log("  " + line.strip())
-            log(f"  bit-exact vs host pipeline: {verified}")
-        except Exception:
-            pass
-        try:
-            log("device entropy kernel...")
-            r = subprocess.run(
-                [sys.executable, str(REPO / "tools" / "bench_device.py"),
-                 "--mb", "32"], capture_output=True, text=True, timeout=1200)
-            for line in r.stdout.splitlines():
-                if line.startswith("warm:"):
-                    results["tpu"]["entropy_mtoks"] = float(
-                        line.split("->")[1].split("M tok/s")[0])
-                    log("  " + line.strip())
-        except Exception:
-            pass
-        try:
-            log("device ROLZ tokenizer kernel...")
-            r = subprocess.run(
-                [sys.executable, str(REPO / "tools" / "bench_device_encode.py")],
-                capture_output=True, text=True, timeout=1200)
-            for line in r.stdout.splitlines():
-                if line.startswith("warm:"):
-                    results["tpu"]["tokenize_mbps_e0"] = float(
-                        line.split(",")[1].split("MB/s")[0])
-                    log("  " + line.strip())
-                elif line.startswith("kernel:"):
-                    results["tpu"]["tokenize_kernel_mbps_e0"] = float(
-                        line.split(",")[1].split("MB/s")[0])
-                    results["tpu"]["tokenize_kernel_ns_per_unit"] = float(
-                        line.split("(")[1].split("ns/unit")[0])
-                    log("  " + line.strip())
-        except Exception:
-            pass
+        t = budget(600)
+        if t > 0:
+            try:
+                log("device ROLZ tokenizer kernel...")
+                r = subprocess.run(
+                    [sys.executable,
+                     str(REPO / "tools" / "bench_device_encode.py")],
+                    capture_output=True, text=True, timeout=t)
+                for line in r.stdout.splitlines():
+                    if line.startswith("warm:"):
+                        results["tpu"]["tokenize_mbps_e0"] = float(
+                            line.split(",")[1].split("MB/s")[0])
+                        log("  " + line.strip())
+                    elif line.startswith("kernel:"):
+                        results["tpu"]["tokenize_kernel_mbps_e0"] = float(
+                            line.split(",")[1].split("MB/s")[0])
+                        results["tpu"]["tokenize_kernel_ns_per_unit"] = float(
+                            line.split("(")[1].split("ns/unit")[0])
+                        log("  " + line.strip())
+            except Exception:
+                pass
+        t = budget(600)
+        if t > 0:
+            try:
+                log("device decode (fused Pallas kernel)...")
+                r = subprocess.run(
+                    [sys.executable,
+                     str(REPO / "tools" / "bench_device_decode.py"),
+                     "--mb", "32"], capture_output=True, text=True, timeout=t)
+                for line in r.stdout.splitlines():
+                    if line.startswith("warm e2e:"):
+                        results["tpu"]["decode_mbps_e0_32MB"] = float(
+                            line.split("->")[1].split("MB/s")[0])
+                        log("  " + line.strip())
+                    elif line.startswith("kernel:"):
+                        # kernel-only rate (inputs device-resident; excludes
+                        # the ~28 ms-RTT tunnel transfers)
+                        results["tpu"]["decode_kernel_mbps_e0_32MB"] = float(
+                            line.split("->")[1].split("MB/s")[0])
+                        log("  " + line.strip())
+            except Exception:
+                pass
+        t = budget(400)
+        if t > 0:
+            try:
+                # literal-path floor: all-literal (incompressible) stream
+                # through the fused decoder's literal-run fast loop
+                log("device decode, all-literal stream...")
+                r = subprocess.run(
+                    [sys.executable,
+                     str(REPO / "tools" / "bench_device_decode.py"),
+                     "--mb", "8", "--random"], capture_output=True, text=True,
+                    timeout=t)
+                for line in r.stdout.splitlines():
+                    if line.startswith("kernel:"):
+                        results["tpu"]["decode_kernel_mbps_random_8MB"] = \
+                            float(line.split("->")[1].split("MB/s")[0])
+                        log("  " + line.strip())
+            except Exception:
+                pass
+        t = budget(400)
+        if t > 0:
+            try:
+                log("device entropy kernel...")
+                r = subprocess.run(
+                    [sys.executable, str(REPO / "tools" / "bench_device.py"),
+                     "--mb", "32"], capture_output=True, text=True, timeout=t)
+                for line in r.stdout.splitlines():
+                    if line.startswith("warm:"):
+                        results["tpu"]["entropy_mtoks"] = float(
+                            line.split("->")[1].split("M tok/s")[0])
+                        log("  " + line.strip())
+            except Exception:
+                pass
+        t = budget(900)
+        if t > 0:
+            try:
+                # standing compiled-mode golden gate: device encode through
+                # the public API's tpu backend (Pallas tokenizer + MTF
+                # relabel kernel at canonical 16 MB geometry), byte-identical
+                # to the reference-golden host pipeline.  32 MB sized to the
+                # lane's measured rate (round-3: 100 MB blew the wall clock).
+                log("device encode (public API tpu backend, 32 MB golden)...")
+                r = subprocess.run(
+                    [sys.executable,
+                     str(REPO / "tools" / "bench_device_api.py"),
+                     "--mb", "32", "--repeats", "1"],
+                    capture_output=True, text=True, timeout=t)
+                verified = any(line.startswith("bit-exact PASS")
+                               for line in r.stdout.splitlines())
+                results["tpu"]["encode_api_bitexact_32MB"] = verified
+                for line in r.stdout.splitlines():
+                    if line.startswith("warm:"):
+                        results["tpu"]["encode_api_mbps_e0_32MB"] = float(
+                            line.split("->")[1].split("MB/s")[0])
+                        log("  " + line.strip())
+                log(f"  bit-exact vs host pipeline: {verified}")
+            except Exception:
+                pass
 
     # counters A/B + observability: the default engine build compiles the
     # match-loop debug counters OUT (reference LIBZLING_DEBUG=0 analog;
@@ -234,13 +283,18 @@ print('counters:', json.dumps(pipeline.counters()))
         env = dict(os.environ, ZLT_COUNTERS="1")
         r = subprocess.run([sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, timeout=600)
+        # counters are namespaced by source: "native" comes from the
+        # ZLT_COUNTERS=1 subprocess (match-loop counters compiled in),
+        # "registry" from the main process's own runs — they are different
+        # builds/processes and must not be merged into one flat dict
+        results["counters"] = {}
         for line in r.stdout.splitlines():
             if line.startswith("withcnt:"):
                 results["counters_on_enc_mbps_e0"] = round(
                     float(line.split()[1]), 1)
                 log(f"  {results['counters_on_enc_mbps_e0']} MB/s")
             elif line.startswith("counters:"):
-                results["counters"] = json.loads(
+                results["counters"]["native"] = json.loads(
                     line.split(":", 1)[1])
     except Exception:
         pass
@@ -248,22 +302,13 @@ print('counters:', json.dumps(pipeline.counters()))
     # host metrics registry (level drops, schedule mispredicts) from the
     # main process's own runs
     try:
-        results.setdefault("counters", {}).update(
+        results.setdefault("counters", {})["registry"] = (
             __import__("libzling_tpu.utils.metrics", fromlist=["registry"])
             .registry.snapshot()["counters"])
     except Exception:
         pass
 
-    e0 = results["levels"]["e0"]
-    base = results["reference"].get("e0", {}).get("enc_mbps")
-    vs = round(e0["enc_mbps"] / base, 3) if base else None
-    print(json.dumps({
-        "metric": "encode_throughput_e0_100MB_markov",
-        "value": e0["enc_mbps"],
-        "unit": "MB/s",
-        "vs_baseline": vs,
-        "detail": results,
-    }))
+    emit(results)
 
 
 if __name__ == "__main__":

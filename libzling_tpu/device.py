@@ -29,9 +29,17 @@ from .ops import resolve_kernel as rk
 
 
 def _auto_interpret() -> bool:
+    """True when the device this computation will actually land on is not a
+    TPU.  Checks ``jax.config.jax_default_device`` first so a surrounding
+    ``with jax.default_device(cpu_dev):`` scope is honored — consulting only
+    ``jax.default_backend()`` is the round-3 interpret-selection trap
+    (ambient backend "tpu" while the target device is CPU)."""
     import jax
 
-    return jax.default_backend() != "tpu"
+    dev = jax.config.jax_default_device
+    if dev is None:
+        dev = jax.devices()[0]
+    return getattr(dev, "platform", None) != "tpu"
 
 
 def encode(data: bytes, level: int = 0) -> bytes:
@@ -118,7 +126,7 @@ def decode(data: bytes, interpret: bool | None = None, *,
         tok_stride = max_tokens + 2 * flush_tokens
         tokens_flat = tokens.reshape(1, C * tok_stride)
 
-        packed, rstatus = rk.resolve_stream(
+        packed, rstatus, _mtf = rk.resolve_stream(
             tokens_flat, rlens.astype(np.int32), encpos, new_block, hbm_base,
             tok_stride, out_words, interpret=interpret,
             slab_tokens=slab_tokens)

@@ -249,7 +249,11 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         srcv = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
 
         nc = jnp.where(has_idx, hl2 + blen, 0)
-        s = jnp.maximum(nc, 1)  # keep the 32-s shift defined when nc == 0
+        # s=1 keeps the 32-s shift defined when nc == 0.  If has_idx is set
+        # with nc == 0 (corrupt matchidx code, e2 < 0) the accumulator
+        # shifts one bit while nbits is unchanged — dead state: `bad` is
+        # already set on that path and the loop exits before any use.
+        s = jnp.maximum(nc, 1)
         lo = jnp.where(has_idx, _srl(lo, s) | (hi << (32 - s)), lo)
         hi = jnp.where(has_idx, _srl(hi, s), hi)
         nbits = nbits - nc
@@ -365,6 +369,12 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         # reload) that the full body pays on every unit.  Semantics match
         # resolve_unit's is_lit branch exactly (reference
         # src/libzling_lz.cpp:327-337).
+        # NOTE: this body exists in THREE places that must stay in sync --
+        # here, ops/resolve_kernel.py lit_body, and the is_lit branches of
+        # both kernels' full bodies; an MTF/MRU tweak applied to one copy
+        # silently desyncs the backends (golden cross-check:
+        # tests/test_device_backend.py runs split vs fused on the same
+        # streams).
         def lit_cond(c):
             return (c[11] >= 0) & (c[11] < 256) & (c[6] >= 2) & ~c[10]
 

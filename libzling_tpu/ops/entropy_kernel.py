@@ -21,14 +21,20 @@ kernel uses:
     proofs for dynamic DMA offsets; see pl.multiple_of below).
 
 Measured on the v5e: 10.3 M tok/s round 2 (two-unit unrolled loop); 11.1 M
-tok/s round 3 (FOUR-unit unrolled loop, 32.7 MB/s of input at 32 MB, tables
-built on device; best-of-N timing -- the tunnel adds 2-3x run variance).
-~50x the measured XLA formulation for this stage.
+tok/s round 3 on the superseded single-chain FOUR-unit unrolled loop
+(32.7 MB/s of input at 32 MB, tables built on device; best-of-N timing --
+the tunnel adds 2-3x run variance).  The COMMITTED kernel below is the
+chunk-paired restructure of that loop; its own compiled-mode rate is
+whatever tools/bench_device.py printed most recently (bench.py records it
+as tpu.entropy_mtoks each round) -- do not cite the 11.1 figure for the
+paired variant without a fresh run.  ~50x the measured XLA formulation
+either way.
 
-Verified bit-exact against the native oracle BOTH in interpreter mode
+Verified bit-exact against the native oracle in interpreter mode
 (tests/test_entropy_kernel.py: slab-refill, burst-flush, leftover-carry and
->LUT_BITS fallback paths) and compiled on the v5e (tools/bench_device.py:
-all chunks of a 33 MB e0 stream).
+>LUT_BITS fallback paths); compiled-mode verification on the v5e is
+tools/bench_device.py (all chunks of a 33 MB e0 stream), which must be
+re-run after any kernel restructure before citing device numbers.
 
 Table construction is jitted XLA on device (the host ships only the tiny
 nibble-unpacked length arrays); the windows-to-symbol classification
@@ -421,6 +427,38 @@ def _decode_call(meta, order1, lut1, lut2, words, interpret: bool = False,
     return tokens_flat.reshape(C, out_tokens), status
 
 
+def pack_payload_words(payloads: list[bytes], slab_words: int = SLAB_WORDS,
+                       total_words: int | None = None):
+    """Lay chunk payloads into one flat word array for the kernel.
+
+    Each chunk start is padded to 512 B so it is 128-word aligned, with one
+    extra 512 B zero block per chunk (the bit reader legitimately peeks past
+    the last payload byte, reference sentinel semantics
+    src/libzling.cpp:369-374) and one trailing slab so the final slab DMA
+    never reads out of bounds.  total_words (optional) zero-pads the result
+    to a uniform length so callers can keep jit shapes stable across calls.
+    Returns (words i32[Wtot], word_base i32[C], n_words i32[C]).
+    """
+    C = len(payloads)
+    word_base = np.zeros(C, np.int32)
+    n_words = np.zeros(C, np.int32)
+    flat = []
+    base = 0
+    for i, p in enumerate(payloads):
+        nb = (len(p) + 511) // 512 * 512 + 512
+        flat.append(np.frombuffer(p + bytes(nb - len(p)), np.uint8))
+        word_base[i] = base
+        n_words[i] = len(p) // 4 + 2  # payload words + legal 8-byte overpeek
+        base += nb // 4
+    flat.append(np.zeros(slab_words * 4, np.uint8))
+    words = np.concatenate(flat).view("<u4").astype(np.int32)
+    if total_words is not None:
+        if len(words) > total_words:
+            raise ValueError("payloads exceed total_words")
+        words = np.pad(words, (0, total_words - len(words)))
+    return words, word_base, n_words
+
+
 def decode_chunks(len1: np.ndarray, len2: np.ndarray, payloads: list[bytes],
                   rlens: np.ndarray, interpret: bool = False,
                   slab_words: int = SLAB_WORDS, flush_tokens: int = FLUSH_TOKENS,
@@ -444,22 +482,7 @@ def decode_chunks(len1: np.ndarray, len2: np.ndarray, payloads: list[bytes],
         len1 = np.concatenate([len1, len1[:1]])
         len2 = np.concatenate([len2, len2[:1]])
         rlens = np.concatenate([rlens, np.zeros(1, np.int32)])
-    Cp = len(payloads)
-    word_base = np.zeros(Cp, np.int32)
-    n_words = np.zeros(Cp, np.int32)
-    flat = []
-    base = 0
-    for i, p in enumerate(payloads):
-        # pad to 512 B so every chunk start is 128-word aligned, plus one
-        # extra 512 B zero block so the reader's peek-past-end stays in range
-        nb = (len(p) + 511) // 512 * 512 + 512
-        flat.append(np.frombuffer(p + bytes(nb - len(p)), np.uint8))
-        word_base[i] = base
-        n_words[i] = len(p) // 4 + 2  # payload words + legal 8-byte overpeek
-        base += nb // 4
-    # one trailing slab so the final slab DMA never reads out of bounds
-    flat.append(np.zeros(slab_words * 4, np.uint8))
-    words = np.concatenate(flat).view("<u4").astype(np.int32)
+    words, word_base, n_words = pack_payload_words(payloads, slab_words)
 
     meta, order1, lut1, lut2 = build_chunk_tables(
         jnp.asarray(len1), jnp.asarray(len2),

@@ -61,7 +61,7 @@ def _srl(x, n):
 
 
 def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
-                    out_hbm, status_ref,
+                    out_hbm, status_ref, mtf_out,
                     mtf_ref, head_ref, mru_ref, slab_ref, pers_ref,
                     ring_ref, out_vmem,
                     sem_tok, sem_mtf, sem_out,
@@ -296,7 +296,8 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
         bad = bad | (new_opos > encpos)
         tpos = tpos + 1 + is_match.astype(jnp.int32)
 
-        # ---- literal fast loop (mirrors ops/decode_fused.py): consecutive
+        # ---- literal fast loop (mirrors ops/decode_fused.py lit_body;
+        # THREE copies must stay in sync -- see the note there): consecutive
         # literal tokens run a minimal body -- ring insert, MTF swap, one
         # byte store, word-MRU shift -- with ZERO vector->scalar transfers,
         # skipping the match/word scaffolding the full body pays.  The
@@ -398,6 +399,17 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
     status_ref[0, 0, 2] = (bad | (opos != encpos)).astype(jnp.int32)
     status_ref[0, 0, 3] = opos0
 
+    # export the final MTF state after the LAST chunk: the stream can then
+    # be resolved in block-granular invocations with the state carried
+    # between them (ring/head/out reset at block starts anyway) -- the
+    # pipelined multi-device decode (parallel/decode_mesh.py) overlaps the
+    # next group's sharded entropy decode with this group's resolve.
+    @pl.when(c == pl.num_programs(0) - 1)
+    def _():
+        cp = pltpu.make_async_copy(mtf_ref, mtf_out, sem_mtf)
+        cp.start()
+        cp.wait()
+
 
 @functools.partial(jax.jit, static_argnames=("interpret", "slab_tokens",
                                              "tok_stride", "out_words"))
@@ -420,10 +432,12 @@ def _resolve_call(mtfnext, meta, mtf0, tokens_flat, interpret: bool = False,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((out_words // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((C, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, MTF_WORDS), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.SMEM((1, MTF_WORDS), jnp.int32),
@@ -441,16 +455,26 @@ def _resolve_call(mtfnext, meta, mtf0, tokens_flat, interpret: bool = False,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
-    unpacked, status = kernel(mtfnext, meta, mtf0, tokens_flat)
+    unpacked, status, mtf_out = kernel(mtfnext, meta, mtf0, tokens_flat)
     # pack 4 bytes/word LE (vectorized XLA, off the scalar core)
     v = unpacked.reshape(-1, 4)
     packed = v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16) | (v[:, 3] << 24)
-    return packed, status
+    return packed, status, mtf_out
+
+
+def initial_mtf_state() -> np.ndarray:
+    """The kernel-layout initial MTF state ([1, MTF_WORDS] i32)."""
+    from .mtf import initial_state
+
+    r2s, _ = initial_state()
+    mtf0 = np.zeros((1, MTF_WORDS), np.int32)
+    mtf0[0, :65536] = np.asarray(r2s, np.int32).reshape(-1)
+    return mtf0
 
 
 def resolve_stream(tokens_flat, rlens, encpos, new_block, hbm_word_base,
                    tok_stride: int, out_words: int, interpret: bool = False,
-                   slab_tokens: int = SLAB_TOKENS):
+                   slab_tokens: int = SLAB_TOKENS, mtf0=None):
     """Resolve all chunks of a stream on device.
 
     tokens_flat: [1, C * tok_stride] i32 device array (entropy-kernel output
@@ -458,11 +482,14 @@ def resolve_stream(tokens_flat, rlens, encpos, new_block, hbm_word_base,
     (hbm_word_base = the owning block's ROW base in the unpacked [R, 128]
     output, a multiple of FLUSH_ROWS with FLUSH_ROWS slack between blocks).
     out_words is the unpacked word count (one output byte per word,
-    a FLUSH_ROWS*128 multiple).
+    a FLUSH_ROWS*128 multiple).  mtf0 optionally carries the MTF state from
+    a previous invocation (block-granular pipelined decode); the first
+    chunk of this call must then start a new block.
     Returns (packed [out_words//4] i32 device array of LE-packed bytes,
-    status [C, 8, 128]: [:,0,0]=opos, [:,0,1]=tokens consumed, [:,0,2]=bad).
+    status [C, 8, 128]: [:,0,0]=opos, [:,0,1]=tokens consumed, [:,0,2]=bad,
+    mtf_out [1, MTF_WORDS] exit MTF state for the next invocation).
     """
-    from .mtf import _J_MTF_NEXT, initial_state
+    from .mtf import _J_MTF_NEXT
 
     C = len(rlens)
     meta = np.zeros((C, 8, 128), np.int32)
@@ -470,11 +497,10 @@ def resolve_stream(tokens_flat, rlens, encpos, new_block, hbm_word_base,
     meta[:, 0, 1] = encpos
     meta[:, 0, 2] = new_block
     meta[:, 0, 3] = hbm_word_base
-    r2s, _ = initial_state()
-    mtf0 = np.zeros((1, MTF_WORDS), np.int32)
-    mtf0[0, :65536] = np.asarray(r2s, np.int32).reshape(-1)
+    if mtf0 is None:
+        mtf0 = jnp.asarray(initial_mtf_state())
     mtfnext = np.asarray(_J_MTF_NEXT(), np.int32).reshape(1, 256)
     return _resolve_call(
-        jnp.asarray(mtfnext), jnp.asarray(meta), jnp.asarray(mtf0),
+        jnp.asarray(mtfnext), jnp.asarray(meta), mtf0,
         tokens_flat, interpret=interpret, slab_tokens=slab_tokens,
         tok_stride=tok_stride, out_words=out_words)

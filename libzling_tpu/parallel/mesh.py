@@ -147,7 +147,11 @@ def parallel_encode_step(blocks, ilens, levels, r2s0, s2r0, *, mesh: Mesh,
         # updated state to its right neighbor over the ICI ring.
         me = jax.lax.axis_index(AXIS)
         ring = [(i, (i + 1) % D) for i in range(D)]
-        interpret = jax.default_backend() != "tpu"
+        # interpret-mode must follow the MESH's devices, not the process
+        # default backend: under the driver/dryrun the mesh lives on virtual
+        # CPU devices while the ambient default backend is the tunneled TPU
+        # (round-3 VERDICT: compiled-Pallas-on-CPU crash).
+        interpret = mesh.devices.flat[0].platform != "tpu"
 
         if tokenizer == "pallas":
             # the scalar-core kernel lane (ops/tokenize_kernel.py); bit-

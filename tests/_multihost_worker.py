@@ -21,6 +21,12 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the 2x4-device shard_map compile dominates this
+# worker's runtime on the 2-vCPU host; cached, the whole test is seconds
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).resolve().parent.parent
+                      / "build" / "jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 

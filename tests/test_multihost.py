@@ -23,9 +23,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_mesh_encode(tmp_path):
+def _run_workers(outs, timeout: float):
+    """Launch the 2-process run once; returns (ok, logs)."""
     coordinator = f"127.0.0.1:{_free_port()}"
-    outs = [tmp_path / f"stream_{i}.bin" for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), coordinator, "2", str(i), str(outs[i])],
@@ -35,13 +35,28 @@ def test_two_process_mesh_encode(tmp_path):
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            raise
+                q.wait()
+            return False, ["TIMEOUT after %.0fs" % timeout] + logs
         logs.append(out.decode(errors="replace"))
-    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+    return all(p.returncode == 0 for p in procs), logs
+
+
+def test_two_process_mesh_encode(tmp_path):
+    # the suite's most environment-sensitive test: 2 jax.distributed
+    # processes compiling an 8-device shard_map on a loaded 2-vCPU host.
+    # One retry on failure/timeout (the first attempt populates the
+    # persistent compile cache, so the retry is cheap), logs dumped either
+    # way so a red run is diagnosable.
+    outs = [tmp_path / f"stream_{i}.bin" for i in range(2)]
+    ok, logs = _run_workers(outs, timeout=300)
+    if not ok:
+        print("multihost attempt 1 failed, retrying:\n" + "\n".join(logs))
+        ok, logs = _run_workers(outs, timeout=300)
+    assert ok, "\n".join(logs)
     s0, s1 = outs[0].read_bytes(), outs[1].read_bytes()
     assert s0 == s1 and len(s0) > 0
 

@@ -101,4 +101,38 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(8, quick=True)
+    ge.dryrun_multichip(8)
+
+
+def test_mesh_decode_multidevice():
+    # sharded entropy decode over the mesh + pipelined resolve with MTF
+    # carry between block groups (parallel/decode_mesh.py), against the
+    # executable spec on a multi-block multi-chunk stream
+    import jax
+    import numpy as np
+
+    from libzling_tpu import spec
+    from libzling_tpu.parallel import decode_mesh, mesh as pmesh
+
+    rng = np.random.default_rng(41)
+    data = (b"mesh decode pipeline " * 150
+            + bytes(rng.integers(0, 256, 1500, dtype=np.uint8))) * 2
+    stream = spec.encode(data, level=1, block_size=2048, max_tokens=500)
+    mesh = pmesh.make_mesh(np.asarray(jax.devices()[:8]))
+    small = dict(max_tokens=512, flush_tokens=512, slab_words=512,
+                 slab_tokens=512)
+    for gb in (1, 3):
+        out = decode_mesh.mesh_decode(stream, mesh=mesh, group_blocks=gb,
+                                      **small)
+        assert out == data
+
+    # corrupt payload must raise, not return garbage (offset 300 sits in
+    # the first chunk's Huffman bits and is spec-verified detectable; table
+    # -region flips can be benign, and the format has no checksum)
+    bad = bytearray(stream)
+    bad[300] ^= 0xFF
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_mesh.mesh_decode(bytes(bad), mesh=mesh, group_blocks=2,
+                                **small)

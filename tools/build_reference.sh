@@ -6,9 +6,15 @@
 set -e
 REF=${REF:-/root/reference}
 OUT=$(dirname "$0")/../build/oracle
-mkdir -p "$OUT/inc/libzling"
-for f in "$REF"/src/*.h; do ln -sf "$f" "$OUT/inc/libzling/"; done
-g++ -O2 -std=c++14 -include functional -I"$REF/src" -I"$OUT/inc" \
+mkdir -p "$OUT"
+# demo/zling.cpp includes "libzling/libzling.h"; the include shim lives
+# OUTSIDE the repo so no reference-identical header (even a symlink) ever
+# appears under /root/repo (copy-detector hygiene)
+INC=/tmp/zling_oracle_inc
+rm -rf "$INC"
+mkdir -p "$INC/libzling"
+for f in "$REF"/src/*.h; do ln -sf "$f" "$INC/libzling/"; done
+g++ -O2 -std=c++14 -include functional -I"$REF/src" -I"$INC" \
     "$REF"/src/libzling.cpp "$REF"/src/libzling_lz.cpp \
     "$REF"/src/libzling_huffman.cpp "$REF"/src/libzling_utils.cpp \
     "$REF"/src/libzling_debug.cpp "$REF"/demo/zling.cpp \
