@@ -215,17 +215,29 @@ def pack_units(sym, idx, valid, len1, enc1, len2, enc2, out_words: int):
     Returns (words [out_words] uint32, total_bits scalar).
     """
     sym = sym.astype(jnp.int32)
-    l1 = len1[sym].astype(jnp.uint32)
-    c1 = enc1[sym].astype(jnp.uint32)
-    code2 = _J_MATCHIDX_CODE()[jnp.clip(idx, 0, 4095)]
+    # gathers are the measured wall on this part (~0.11 G elem/s flat,
+    # DESIGN.md section 2b addendum): combine the per-unit lookups into TWO
+    # unit-sized gathers -- a packed (code | len<<16) alphabet-1 table, and
+    # a per-idx table that precomputes the ENTIRE match-index tail
+    # (idxcode | extra_bits << len2) plus its bit count for all 4096 index
+    # values (the small 4096/32-entry builder gathers are noise)
+    packed1 = enc1.astype(jnp.uint32) | (len1.astype(jnp.uint32) << 16)
+    p1 = packed1[sym]
+    c1 = p1 & jnp.uint32(0xFFFF)
+    l1 = p1 >> 16
+    code2 = _J_MATCHIDX_CODE()
+    l2t = len2[code2].astype(jnp.uint32)
+    c2t = enc2[code2].astype(jnp.uint32)
+    lxt = _J_MATCHIDX_BLEN()[code2].astype(jnp.uint32)
+    cxt = (jnp.arange(4096, dtype=jnp.uint32)
+           - _J_MATCHIDX_BASE()[code2].astype(jnp.uint32))
+    # tail < 2^(len2+blen) <= 2^16; bit count <= 16 rides in the top byte
+    idxtab = (c2t | (cxt << l2t)) | ((l2t + lxt) << 24)
     is_match = sym >= 258
-    l2 = jnp.where(is_match, len2[code2], 0).astype(jnp.uint32)
-    c2 = jnp.where(is_match, enc2[code2], 0).astype(jnp.uint32)
-    lx = jnp.where(is_match, _J_MATCHIDX_BLEN()[code2], 0).astype(jnp.uint32)
-    cx = jnp.where(is_match, (idx - _J_MATCHIDX_BASE()[code2]).astype(jnp.uint32), 0)
+    pi = jnp.where(is_match, idxtab[jnp.clip(idx, 0, 4095)], 0)
 
-    bits = c1 | (c2 << l1) | (cx << (l1 + l2))
-    nbits = jnp.where(valid, l1 + l2 + lx, 0)
+    bits = c1 | ((pi & jnp.uint32(0xFFFFFF)) << l1)
+    nbits = jnp.where(valid, l1 + (pi >> 24), 0)
 
     offs = jnp.cumsum(nbits) - nbits  # exclusive scan of bit offsets
     total_bits = offs[-1] + nbits[-1] if sym.shape[0] else jnp.uint32(0)

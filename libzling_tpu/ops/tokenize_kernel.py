@@ -338,11 +338,9 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
         searchable = (node0 != _NIL) & (node0 != head)
 
-        # ---- lazy-probe-1 prefetch: the probe is read-only and sees
-        # exactly the post-insert table, so its serial VMEM transfers are
-        # issued HERE -- their ~140-cycle latencies hide under the main
-        # walk's fetch chain (lazy1 fires on ~80% of e0 units; measured in
-        # tools/sweep_tokenize.py counters)
+        # ---- lazy-probe-1 prefetch targets (the probe is read-only and
+        # sees exactly the post-insert table, so its VMEM transfers can be
+        # issued early -- lazy1 fires on ~80% of e0 units)
         lazy_on = lazy1 > 0
         if DBG_NO_PREFETCH:
             lazy_on = jnp.bool_(False)
@@ -357,36 +355,63 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         llvl0_1 = lhit1 & ((head_ref[0, lctx1] - le_cnt1) < 4096)
         lnode0_1 = le_cnt1 & 4095
 
-        @pl.when(lazy_on & ~lhit1)
-        def _():
-            pers_ref[13] = onehot(hash_ref, lctx1 * 64 + _srl(lslot1, 7),
-                                  lslot1 & 127)
-
-        @pl.when(lazy_on & lhit1 & ~llvl0_1)
-        def _():
-            pers_ref[14] = onehot(slot_ref, lctx1 * 32 + _srl(lnode0_1, 7),
-                                  lnode0_1 & 127)
-            pers_ref[15] = onehot(chain_ref, lctx1 * 32 + _srl(lnode0_1, 7),
-                                  lnode0_1 & 127)
-
-        # ---- walk steps 0 and 1 unrolled (SMEM-served on cache hits) ----
+        # ---- ONE shared fetch region.  Separate pl.when regions SERIALIZE
+        # independent extracts while extracts issued together overlap to
+        # ~one ~140-cycle latency (DESIGN.md section 0) -- so every
+        # transfer whose address is known BEFORE any fetch resolves is
+        # issued from this single region: walk step-0 cells (cache miss),
+        # the lazy head / lazy node-0 cells, walk step-1 cells when the
+        # level-1 node is SMEM-known, and the funnel LCP min-extracts for
+        # check-hits the cache already resolved.  Results land in pers_ref
+        # slots via dynamic-index writes (slot 4 is the discard slot).
         fetch0 = searchable & ~lvl0_ok
+        off0_c = e_s0 & 0xFFFFFF
+        check0_c = searchable & lvl0_ok & ((_srl(e_s0, 24) & 255) == check)
+        done1_c = ~searchable | (depth < 2) | (e_n1 == _NIL)
+        s1_c = e_s1
+        off1_c = s1_c & 0xFFFFFF
+        done1b_c = done1_c | (off0_c <= off1_c)
+        check1_c = lvl1_ok & ~done1b_c & ((_srl(s1_c, 24) & 255) == check)
+        fetch1_c = lvl0_ok & ~lvl1_ok & ~done1_c
+        need_lhead = lazy_on & ~lhit1
+        need_lcell = lazy_on & lhit1 & ~llvl0_1
 
-        @pl.when(fetch0)
+        @pl.when(fetch0 | need_lhead | need_lcell | fetch1_c
+                 | check0_c | check1_c)
         def _():
-            pers_ref[9] = onehot(slot_ref, ctx * 32 + _srl(node0, 7),
-                                 node0 & 127)
-            pers_ref[10] = onehot(chain_ref, ctx * 32 + _srl(node0, 7),
-                                  node0 & 127)
-            # repair the line's level-1 from the fetched cells so the next
-            # same-key lookup walks depth 2 from SMEM
-            cn1_ref[0, line] = node0 | (1 << 20)
+            n0 = jnp.where(fetch0, node0, 0)
+            pers_ref[jnp.where(fetch0, 9, 4)] = onehot(
+                slot_ref, ctx * 32 + _srl(n0, 7), n0 & 127)
+            pers_ref[jnp.where(fetch0, 10, 4)] = onehot(
+                chain_ref, ctx * 32 + _srl(n0, 7), n0 & 127)
+            pers_ref[jnp.where(need_lhead, 13, 4)] = onehot(
+                hash_ref, lctx1 * 64 + _srl(lslot1, 7), lslot1 & 127)
+            ln = jnp.where(need_lcell, lnode0_1, 0)
+            pers_ref[jnp.where(need_lcell, 14, 4)] = onehot(
+                slot_ref, lctx1 * 32 + _srl(ln, 7), ln & 127)
+            pers_ref[jnp.where(need_lcell, 15, 4)] = onehot(
+                chain_ref, lctx1 * 32 + _srl(ln, 7), ln & 127)
+            n1 = jnp.where(fetch1_c, e_n1, 0)
+            pers_ref[jnp.where(fetch1_c, 11, 4)] = onehot(
+                slot_ref, ctx * 32 + _srl(n1, 7), n1 & 127)
+            pers_ref[jnp.where(fetch1_c, 12, 4)] = onehot(
+                chain_ref, ctx * 32 + _srl(n1, 7), n1 & 127)
+            fip = funnel3(ipos)
+            neq0 = fip != funnel3(jnp.where(check0_c, off0_c, 0))
+            neq1 = fip != funnel3(jnp.where(check1_c, off1_c, 0))
+            pers_ref[jnp.where(check0_c, 5, 4)] = jnp.min(
+                jnp.where(neq0, POS3, 999))
+            pers_ref[jnp.where(check1_c, 6, 4)] = jnp.min(
+                jnp.where(neq1, POS3, 999))
 
         s0 = jnp.where(lvl0_ok, e_s0, pers_ref[9])
         nxt0 = jnp.where(lvl0_ok, e_n1, pers_ref[10])
 
         @pl.when(fetch0)
         def _():
+            # repair the line's level-1 from the fetched cells so the next
+            # same-key lookup walks depth 2 from SMEM (writes only: cheap)
+            cn1_ref[0, line] = node0 | (1 << 20)
             cs1_ref[0, line] = pers_ref[9]
             cn2_ref[0, line] = pers_ref[10]
 
@@ -395,7 +420,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         done1 = ~searchable | (depth < 2) | (nxt0 == _NIL)
         node1 = jnp.where(done1, node0, nxt0)
 
-        fetch1 = ~done1 & ~lvl1_ok
+        fetch1 = ~done1 & ~lvl1_ok & ~fetch1_c
 
         @pl.when(fetch1)
         def _():
@@ -410,19 +435,20 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         done1b = done1 | (off0 <= off1)
         check1 = ~done1b & ((_srl(s1, 24) & 255) == check)
 
-        # direct funnel LCP on check-hits.  ONE region for both steps: the
-        # two min extracts are independent, and issuing them from the same
-        # region lets their ~140-cycle transfer latencies overlap (separate
-        # pl.when regions serialize them); when only one step check-hits,
-        # the spare window build is wasted vector issue -- measured cheaper
-        # than the serialization (tools/sweep_tokenize.py)
-        @pl.when(check0 | check1)
+        # late funnel LCPs: only for check-hits the shared region could not
+        # precompute (cache-miss paths whose off came from a VMEM fetch)
+        late0 = check0 & ~check0_c
+        late1 = check1 & ~check1_c
+
+        @pl.when(late0 | late1)
         def _():
             fip = funnel3(ipos)
-            neq0 = fip != funnel3(jnp.where(check0, off0, 0))
-            neq1 = fip != funnel3(jnp.where(check1, off1, 0))
-            pers_ref[5] = jnp.min(jnp.where(neq0, POS3, 999))
-            pers_ref[6] = jnp.min(jnp.where(neq1, POS3, 999))
+            neq0 = fip != funnel3(jnp.where(late0, off0, 0))
+            neq1 = fip != funnel3(jnp.where(late1, off1, 0))
+            pers_ref[jnp.where(late0, 5, 4)] = jnp.min(
+                jnp.where(neq0, POS3, 999))
+            pers_ref[jnp.where(late1, 6, 4)] = jnp.min(
+                jnp.where(neq1, POS3, 999))
 
         # hit-rate counters (stat row 7; reference debug-counter analog,
         # src/libzling_debug.h): attempts / cache levels / check hits

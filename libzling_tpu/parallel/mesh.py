@@ -35,6 +35,8 @@ decode parallelism is pipeline-style only (pipeline.py, device.py).
 from __future__ import annotations
 
 import functools
+import os
+import time as _time
 
 import numpy as np
 
@@ -60,6 +62,30 @@ from ..tables import (
 AXIS = "blocks"
 _LEVEL_TABLE = np.asarray([LEVEL_PARAMS[l] for l in sorted(LEVEL_PARAMS)],
                           np.int32)
+
+# ---- stage-timing probe (ZLT_STAGE_PROBE=1): attributes canonical-lane
+# wall time to pipeline stages.  Probe syncs FORCE a scalar fetch (the axon
+# platform's block_until_ready does not synchronize -- DESIGN.md section 3
+# ledger item 7), so they add tunnel RTTs and slightly distort totals; use
+# for attribution, not headline numbers.
+STAGE_TIMES: dict[str, float] = {}
+
+
+def _probe_on() -> bool:
+    return bool(os.environ.get("ZLT_STAGE_PROBE"))
+
+
+def _psync(name: str, t0: float, *xs) -> float:
+    """Record elapsed for a stage (forcing completion of xs); returns a new
+    t0.  No-op unless ZLT_STAGE_PROBE is set."""
+    if not _probe_on():
+        return t0
+    for x in xs:
+        if hasattr(x, "ravel"):
+            np.asarray(jax.device_get(x.ravel()[:1]))
+    now = _time.perf_counter()
+    STAGE_TIMES[name] = STAGE_TIMES.get(name, 0.0) + (now - t0)
+    return now
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -220,37 +246,64 @@ def parallel_encode_step(blocks, ilens, levels, r2s0, s2r0, *, mesh: Mesh,
         r2s = jax.lax.psum(jnp.where(me == 0, r2s, 0), AXIS)
         s2r = jax.lax.psum(jnp.where(me == 0, s2r, 0), AXIS)
 
-        freq1, freq2 = jax.vmap(hops.unit_histograms)(sym2, idx, valid)
         n_chunks = jnp.sum((nunits > 0).astype(jnp.int32))
         return (sym2[None], idx[None], valid[None], nunits[None], ntoks[None],
-                encpos[None], n_chunks[None], freq1[None], freq2[None],
-                r2s, s2r)
+                encpos[None], n_chunks[None], r2s, s2r)
 
     return jax.shard_map(
         step, mesh=mesh, check_vma=False,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(), P()),
         out_specs=(P(AXIS, None, None), P(AXIS, None, None),
                    P(AXIS, None, None), P(AXIS, None), P(AXIS, None),
-                   P(AXIS, None), P(AXIS), P(AXIS, None, None),
-                   P(AXIS, None, None), P(), P()),
+                   P(AXIS, None), P(AXIS), P(), P()),
     )(blocks, ilens, levels, r2s0, s2r0)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def parallel_hist_step(sym2, idx, valid, *, mesh: Mesh):
+    """Per-chunk symbol histograms, on BUCKETED chunk arrays.
+
+    Runs as its own step (not inside parallel_encode_step) so the chunk
+    axis can be sliced to the realized chunk count first -- at canonical
+    geometry the padded axis is 129 slots while a typical 16 MB e0 block
+    realizes ~40-60 chunks, and the scatter-adds here run at a measured
+    ~0.08 G elem/s (DESIGN.md section 2b addendum): halving the slots
+    halves this stage."""
+
+    def step(sym2, idx, valid):
+        freq1, freq2 = jax.vmap(hops.unit_histograms)(sym2[0], idx[0],
+                                                      valid[0])
+        return freq1[None], freq2[None]
+
+    return jax.shard_map(
+        step, mesh=mesh, check_vma=False,
+        in_specs=(P(AXIS, None, None),) * 3,
+        out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
+    )(sym2, idx, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "out_words",
                                               "compact_words"))
-def parallel_pack_step(sym2, idx, valid, len1, enc1, len2, enc2, *,
+def parallel_pack_step(sym2, idx, valid, len1, len2, *,
                        mesh: Mesh, out_words: int, compact_words: int):
     """Stage 2: per-chunk bit-packing with each chunk's Huffman tables.
+
+    Canonical code assignment happens HERE, per device, from the host's
+    exact length tables -- shipping lengths and deriving codes on device
+    replaces the old default-device canonical_codes call plus its fetch
+    and re-put (2 tunnel round trips per group).
 
     The per-chunk word buffers are compacted on device (each chunk's
     payload words packed end to end at cumsum offsets) so the host gather
     moves ~the compressed size instead of C x out_words of padding --
     at canonical 16 MB geometry that is ~19 MB instead of ~270 MB."""
 
-    def step(sym2, idx, valid, len1, enc1, len2, enc2):
+    def step(sym2, idx, valid, len1, len2):
+        enc1 = hops.canonical_codes(len1[0], HUFFMAN_MAX_LEN_1)
+        enc2 = hops.canonical_codes(len2[0], HUFFMAN_MAX_LEN_2)
         pack = functools.partial(hops.pack_units, out_words=out_words)
         words, bits = jax.vmap(pack)(sym2[0], idx[0], valid[0], len1[0],
-                                     enc1[0], len2[0], enc2[0])
+                                     enc1, len2[0], enc2)
         nw = (bits + 31) // 32
         offs = jnp.cumsum(nw) - nw
 
@@ -265,9 +318,9 @@ def parallel_pack_step(sym2, idx, valid, len1, enc1, len2, enc2, *,
 
     return jax.shard_map(
         step, mesh=mesh, check_vma=False,
-        in_specs=(P(AXIS, None, None),) * 7,
+        in_specs=(P(AXIS, None, None),) * 5,
         out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
-    )(sym2, idx, valid, len1, enc1, len2, enc2)
+    )(sym2, idx, valid, len1, len2)
 
 
 def _payload_bytes(bits: int) -> int:
@@ -403,39 +456,47 @@ def _encode_group_device(blocks, ilens, sched, r2s_snap, s2r_snap, gilens,
     passes = 0
     while True:
         passes += 1
+        t0 = _time.perf_counter()
         lv = shard_put(sched, mesh, P(AXIS, None))
-        (sym2, idx, valid, nunits, ntoks, encpos, n_chunks, freq1, freq2,
+        (sym2, idx, valid, nunits, ntoks, encpos, n_chunks,
          r2s_new, s2r_new) = parallel_encode_step(
             blocks, ilens, lv, r2s_snap, s2r_snap, mesh=mesh,
             max_tokens=max_tokens, max_chunks=max_chunks,
             chunk_units=chunk_units, tokenizer=tokenizer)
+        t0 = _psync("encode_step", t0, r2s_new, n_chunks)
         nchunks_np = host_gather(n_chunks)
-        f1 = host_gather(freq1).reshape(D * max_chunks, HUFFMAN_CODES_1)
-        f2 = host_gather(freq2).reshape(D * max_chunks, HUFFMAN_CODES_2)
+        # BUCKET the chunk axis to the realized count (rounded up to 8 for
+        # executable reuse): the padded axis is sized for the all-literal
+        # worst case (129 slots at canonical geometry) while typical blocks
+        # realize a third of that, and the histogram/pack stages pay per
+        # SLOT (gathers ~0.11 G/s, scatters ~0.08 G/s)
+        bucket = min(max_chunks,
+                     max(8, -(-int(np.max(nchunks_np)) // 8) * 8))
+        sym2b, idxb, validb = (sym2[:, :bucket], idx[:, :bucket],
+                               valid[:, :bucket])
+        freq1, freq2 = parallel_hist_step(sym2b, idxb, validb, mesh=mesh)
+        f1 = host_gather(freq1).reshape(D * bucket, HUFFMAN_CODES_1)
+        f2 = host_gather(freq2).reshape(D * bucket, HUFFMAN_CODES_2)
+        t0 = _psync("gather_freqs", t0)
         len1 = hops.exact_length_tables(f1, HUFFMAN_MAX_LEN_1) \
-            .reshape(D, max_chunks, HUFFMAN_CODES_1)
+            .reshape(D, bucket, HUFFMAN_CODES_1)
         len2 = hops.exact_length_tables(f2, HUFFMAN_MAX_LEN_2) \
-            .reshape(D, max_chunks, HUFFMAN_CODES_2)
-        enc1 = hops.canonical_codes(
-            jnp.asarray(len1.reshape(-1, HUFFMAN_CODES_1)),
-            HUFFMAN_MAX_LEN_1).reshape(D, max_chunks, HUFFMAN_CODES_1)
-        enc2 = hops.canonical_codes(
-            jnp.asarray(len2.reshape(-1, HUFFMAN_CODES_2)),
-            HUFFMAN_MAX_LEN_2).reshape(D, max_chunks, HUFFMAN_CODES_2)
+            .reshape(D, bucket, HUFFMAN_CODES_2)
+        t0 = _psync("length_tables", t0)
         # a unit packs to < 4 bytes and consumes >= 1 input byte, so a
         # block's payload words are bounded by its byte count; the compact
         # buffer is HBM-cheap, and the host gather below moves only the
         # realized compressed words
         compact_words = int(np.max(gilens)) + out_words + 64
         words, bits, offs = parallel_pack_step(
-            sym2, idx, valid,
+            sym2b, idxb, validb,
             shard_put(len1, mesh, P(AXIS, None, None)),
-            shard_put(np.asarray(enc1), mesh, P(AXIS, None, None)),
             shard_put(len2, mesh, P(AXIS, None, None)),
-            shard_put(np.asarray(enc2), mesh, P(AXIS, None, None)),
             mesh=mesh, out_words=out_words, compact_words=compact_words)
+        t0 = _psync("pack_step", t0, bits)
         bits_np = host_gather(bits)
         encpos_np = host_gather(encpos)
+        t0 = _psync("gather_pack_meta", t0)
 
         # serial schedule validation (the adaptive drop couples chunk
         # k+1 to chunk k across block boundaries, libzling.cpp:261-266).
@@ -460,6 +521,7 @@ def _encode_group_device(blocks, ilens, sched, r2s_snap, s2r_snap, gilens,
                 prev_end = ep
             # chunk boundaries may shift after fixes: predict the tail
             sched[d, int(nchunks_np[d]):] = expected
+        _psync("validate", t0)
         if not any_fix:
             break
 
@@ -470,12 +532,14 @@ def _encode_group_device(blocks, ilens, sched, r2s_snap, s2r_snap, gilens,
 
     # ---- host: ordered gather + container framing (fetch only the
     # realized compressed words, not the padded pack buffers)
+    t0 = _time.perf_counter()
     out = bytearray()
     offs_np = host_gather(offs)
     nw_np = (bits_np + 31) // 32
     needed = int(np.max(offs_np + nw_np)) if offs_np.size else 0
     words_np = host_gather(words[:, :max(needed, 1)])
     ntoks_np = host_gather(ntoks)
+    t0 = _psync("gather_words", t0)
     for d in range(D):
         if group + d >= nblocks or gilens[d] == 0:
             continue
@@ -490,4 +554,5 @@ def _encode_group_device(blocks, ilens, sched, r2s_snap, s2r_snap, gilens,
             out.extend(len(payload).to_bytes(4, "big"))
             out.extend(payload)
         out.append(0)
+    _psync("frame", t0)
     return bytes(out), expected, r2s_new, s2r_new

@@ -34,7 +34,7 @@ import jax  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", str(REPO / "build" / "jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-ARTIFACT = REPO / "MESH_CANONICAL_r03.json"
+ARTIFACT = REPO / "MESH_CANONICAL_r04.json"
 
 
 def main() -> None:
@@ -43,7 +43,23 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--mb", type=int, default=0)
     ap.add_argument("--level", type=int, default=0)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="encode N times, report the best (the tunnel's "
+                         "program-load cost makes every fresh process's "
+                         "first call 2-6 min regardless of the persistent "
+                         "cache; deployment is a persistent process)")
+    ap.add_argument("--probe", action="store_true",
+                    help="per-stage wall-time attribution (adds sync "
+                         "fetches; numbers are for attribution, the "
+                         "un-probed run is the headline)")
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip the host-pipeline equality check (probe "
+                         "iterations)")
     args = ap.parse_args()
+    if args.probe:
+        import os
+
+        os.environ["ZLT_STAGE_PROBE"] = "1"
 
     from tools.make_corpus import cached_corpus
     from libzling_tpu import pipeline
@@ -64,19 +80,33 @@ def main() -> None:
           f"block={BLOCK_SIZE_IN} max_tokens={BLOCK_SIZE_ROLZ} "
           f"tokenizer={tokenizer}", flush=True)
 
-    t0 = time.perf_counter()
-    stream = pmesh.mesh_encode(data, args.level, mesh=mesh,
-                               block_size=BLOCK_SIZE_IN,
-                               max_tokens=BLOCK_SIZE_ROLZ,
-                               tokenizer=tokenizer)
-    dt = time.perf_counter() - t0
-    print(f"mesh_encode: {dt:.1f}s -> {len(data)/dt/1e6:.2f} MB/s, "
-          f"{len(stream)} bytes", flush=True)
+    dt = float("inf")
+    for rep in range(max(1, args.repeats)):
+        if args.probe:
+            pmesh.STAGE_TIMES.clear()
+        t0 = time.perf_counter()
+        stream = pmesh.mesh_encode(data, args.level, mesh=mesh,
+                                   block_size=BLOCK_SIZE_IN,
+                                   max_tokens=BLOCK_SIZE_ROLZ,
+                                   tokenizer=tokenizer)
+        d = time.perf_counter() - t0
+        dt = min(dt, d)
+        print(f"mesh_encode[{rep}]: {d:.1f}s -> {len(data)/d/1e6:.2f} MB/s, "
+              f"{len(stream)} bytes", flush=True)
 
-    ref = pipeline.encode(data, args.level)
-    assert stream == ref, "canonical-geometry mesh stream != host pipeline"
-    print("byte-identical to the host pipeline (reference-golden) PASS",
-          flush=True)
+    if args.probe and pmesh.STAGE_TIMES:
+        tot = sum(pmesh.STAGE_TIMES.values())
+        for k, v in sorted(pmesh.STAGE_TIMES.items(), key=lambda kv: -kv[1]):
+            print(f"  stage {k:18s} {v:7.2f}s  {v / tot * 100:5.1f}%",
+                  flush=True)
+
+    byte_identical = None
+    if not args.no_verify:
+        ref = pipeline.encode(data, args.level)
+        assert stream == ref, "canonical-geometry mesh stream != host pipeline"
+        byte_identical = True
+        print("byte-identical to the host pipeline (reference-golden) PASS",
+              flush=True)
 
     mem = None
     try:
@@ -91,8 +121,11 @@ def main() -> None:
         "bytes_out": len(stream), "level": args.level,
         "block_size": BLOCK_SIZE_IN, "max_tokens": BLOCK_SIZE_ROLZ,
         "seconds": round(dt, 2), "mbps": round(len(data) / dt / 1e6, 3),
-        "byte_identical": True, "device_memory": mem,
+        "byte_identical": byte_identical, "device_memory": mem,
     }
+    if args.probe and pmesh.STAGE_TIMES:
+        rec["stages"] = {k: round(v, 2) for k, v in pmesh.STAGE_TIMES.items()}
+        rec["probed"] = True
     doc = {}
     if ARTIFACT.exists():
         doc = json.loads(ARTIFACT.read_text())
