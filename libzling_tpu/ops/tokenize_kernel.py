@@ -148,6 +148,16 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         w = pltpu.roll(block_vmem[pl.ds(r0, 4), :], shift=-sh, axis=1)
         return jnp.where(IOTA3 < 128 - sh, w[0:L_ROWS, :], w[1:L_ROWS + 1, :])
 
+    def funnel1(p):
+        """[1,128] window whose lane 0 is block byte p (p >= 0)."""
+        r0 = jnp.clip(_srl(p, 7), 0, block_rows - 2)
+        sh = p & 127
+        a = pltpu.roll(block_vmem[pl.ds(r0, 1), :], shift=-sh, axis=1)
+        b = pltpu.roll(block_vmem[pl.ds(r0 + 1, 1), :], shift=-sh, axis=1)
+        return jnp.where(IOTA < 128 - sh, a, b)
+
+    POW31 = jnp.where(IOTA < 31, 1 << jnp.minimum(IOTA, 30), 0)
+
     def onehot(ref, row, lane):
         r = ref[pl.ds(row, 1), :]
         return jnp.sum(jnp.where(IOTA == lane, r, 0))
@@ -199,7 +209,11 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
         Read-only probe: on a tag hit the hash head and the first node's
         (slot, chain) come from the SMEM cache, so the common depth-1
-        probes (e0-e1) cost one VMEM extract (the want-compare) total.
+        probes (e0-e1) cost one VMEM extract (the want-compare) total --
+        and ZERO extracts when the shared fetch region precomputed the
+        mismatch MASK (pers_ref[3]: bit i = candidate byte i != source
+        byte i, lanes 0..30): the 4-byte probe at maxlen-3 is then a
+        scalar shift-and-test for every maxlen <= 30.
 
         pre: optionally (hit, lvl0_ok, cached node0, line) computed BEFORE
         the main walk, with the head / slot+chain transfers already issued
@@ -238,6 +252,9 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         need_fetch = start_ok & ~lvl0_ok
         if prefetched:
             need_fetch = need_fetch & ~hit
+            use_mask = hit & lvl0_ok & (probe_at <= 27)
+        else:
+            use_mask = jnp.bool_(False)
 
         @pl.when(need_fetch)
         def _():
@@ -249,7 +266,16 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         s0 = jnp.where(lvl0_ok, cs0_ref[0, line], pers_ref[14])
         nxt0 = jnp.where(lvl0_ok, cn1_ref[0, line] & 0xFFFF, pers_ref[15])
         off0 = s0 & 0xFFFFFF
-        hit0 = start_ok & (u32le_cand(off0 + probe_at) == want)
+
+        # the candidate probe word costs a ~140-cycle extract: skip it
+        # entirely when the precomputed mask covers the window
+        @pl.when(start_ok & ~use_mask)
+        def _():
+            pers_ref[8] = u32le_cand(off0 + probe_at)
+
+        hit0 = start_ok & jnp.where(
+            use_mask, (_srl(pers_ref[3], probe_at) & 15) == 0,
+            pers_ref[8] == want)
         done0 = ~start_ok | hit0 | (depth <= 1) | (nxt0 == _NIL)
 
         def lbody(carry):
@@ -357,27 +383,28 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
         # ---- ONE shared fetch region.  Separate pl.when regions SERIALIZE
         # independent extracts while extracts issued together overlap to
-        # ~one ~140-cycle latency (DESIGN.md section 0) -- so every
-        # transfer whose address is known BEFORE any fetch resolves is
+        # ~one ~140-cycle latency (DESIGN.md section 0) -- so every CELL
+        # transfer whose address is known before any fetch resolves is
         # issued from this single region: walk step-0 cells (cache miss),
-        # the lazy head / lazy node-0 cells, walk step-1 cells when the
-        # level-1 node is SMEM-known, and the funnel LCP min-extracts for
-        # check-hits the cache already resolved.  Results land in pers_ref
-        # slots via dynamic-index writes (slot 4 is the discard slot).
+        # the lazy head / lazy node-0 cells, and walk step-1 cells when the
+        # level-1 node is SMEM-known.  Results land in pers_ref slots via
+        # dynamic-index writes (slot 4 is the discard slot).  The funnel
+        # LCP extracts stay in their own later region: folding them in here
+        # taxed every fetch-bearing unit with 3 window builds (measured
+        # 1043 -> 1070 ns/unit, reverted).
         fetch0 = searchable & ~lvl0_ok
-        off0_c = e_s0 & 0xFFFFFF
-        check0_c = searchable & lvl0_ok & ((_srl(e_s0, 24) & 255) == check)
         done1_c = ~searchable | (depth < 2) | (e_n1 == _NIL)
-        s1_c = e_s1
-        off1_c = s1_c & 0xFFFFFF
-        done1b_c = done1_c | (off0_c <= off1_c)
-        check1_c = lvl1_ok & ~done1b_c & ((_srl(s1_c, 24) & 255) == check)
         fetch1_c = lvl0_ok & ~lvl1_ok & ~done1_c
         need_lhead = lazy_on & ~lhit1
         need_lcell = lazy_on & lhit1 & ~llvl0_1
+        # lazy-probe mismatch mask: when the lazy key's node-0 slot is
+        # cache-served, precompute bit i = (candidate byte i != source byte
+        # i) for lanes 0..30 -- the probe's 4-byte window test then needs
+        # NO extract for any maxlen <= 30 (the common case)
+        need_lmask = lazy_on & lhit1 & llvl0_1
+        loff1 = cs0_ref[0, lline1] & 0xFFFFFF
 
-        @pl.when(fetch0 | need_lhead | need_lcell | fetch1_c
-                 | check0_c | check1_c)
+        @pl.when(fetch0 | need_lhead | need_lcell | fetch1_c | need_lmask)
         def _():
             n0 = jnp.where(fetch0, node0, 0)
             pers_ref[jnp.where(fetch0, 9, 4)] = onehot(
@@ -396,13 +423,10 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
                 slot_ref, ctx * 32 + _srl(n1, 7), n1 & 127)
             pers_ref[jnp.where(fetch1_c, 12, 4)] = onehot(
                 chain_ref, ctx * 32 + _srl(n1, 7), n1 & 127)
-            fip = funnel3(ipos)
-            neq0 = fip != funnel3(jnp.where(check0_c, off0_c, 0))
-            neq1 = fip != funnel3(jnp.where(check1_c, off1_c, 0))
-            pers_ref[jnp.where(check0_c, 5, 4)] = jnp.min(
-                jnp.where(neq0, POS3, 999))
-            pers_ref[jnp.where(check1_c, 6, 4)] = jnp.min(
-                jnp.where(neq1, POS3, 999))
+            na = funnel1(ipos + 1) != funnel1(jnp.where(need_lmask,
+                                                        loff1, 0))
+            pers_ref[jnp.where(need_lmask, 3, 4)] = jnp.sum(
+                jnp.where(na, POW31, 0))
 
         s0 = jnp.where(lvl0_ok, e_s0, pers_ref[9])
         nxt0 = jnp.where(lvl0_ok, e_n1, pers_ref[10])
@@ -435,20 +459,18 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         done1b = done1 | (off0 <= off1)
         check1 = ~done1b & ((_srl(s1, 24) & 255) == check)
 
-        # late funnel LCPs: only for check-hits the shared region could not
-        # precompute (cache-miss paths whose off came from a VMEM fetch)
-        late0 = check0 & ~check0_c
-        late1 = check1 & ~check1_c
-
-        @pl.when(late0 | late1)
+        # direct funnel LCP on check-hits.  ONE region for both steps: the
+        # two min extracts are independent, and issuing them from the same
+        # region lets their ~140-cycle transfer latencies overlap; when
+        # only one step check-hits, the spare window build is wasted vector
+        # issue -- measured cheaper than serializing (tools/sweep_tokenize)
+        @pl.when(check0 | check1)
         def _():
             fip = funnel3(ipos)
-            neq0 = fip != funnel3(jnp.where(late0, off0, 0))
-            neq1 = fip != funnel3(jnp.where(late1, off1, 0))
-            pers_ref[jnp.where(late0, 5, 4)] = jnp.min(
-                jnp.where(neq0, POS3, 999))
-            pers_ref[jnp.where(late1, 6, 4)] = jnp.min(
-                jnp.where(neq1, POS3, 999))
+            neq0 = fip != funnel3(jnp.where(check0, off0, 0))
+            neq1 = fip != funnel3(jnp.where(check1, off1, 0))
+            pers_ref[5] = jnp.min(jnp.where(neq0, POS3, 999))
+            pers_ref[6] = jnp.min(jnp.where(neq1, POS3, 999))
 
         # hit-rate counters (stat row 7; reference debug-counter analog,
         # src/libzling_debug.h): attempts / cache levels / check hits

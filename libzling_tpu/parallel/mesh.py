@@ -408,7 +408,10 @@ def mesh_encode(data: bytes, level: int, mesh: Mesh | None = None,
     r2s, s2r = mops.initial_state()
     current_level = level
 
-    for group in range(0, nblocks, D):
+    kw = dict(mesh=mesh, max_tokens=max_tokens, max_chunks=max_chunks,
+              chunk_units=chunk_units, tokenizer=tokenizer)
+
+    def dispatch(group: int, entry_level: int, r2s_in, s2r_in) -> dict:
         gblocks, gilens = [], []
         for d in range(D):
             blk = data[(group + d) * block_size: (group + d + 1) * block_size]
@@ -417,19 +420,40 @@ def mesh_encode(data: bytes, level: int, mesh: Mesh | None = None,
                 blk + bytes(block_size + pad - len(blk)), np.uint8))
         blocks = shard_put(np.stack(gblocks), mesh, P(AXIS, None))
         ilens = shard_put(np.asarray(gilens, np.int32), mesh, P(AXIS))
-        # optimistic schedule: requested level everywhere except a carried
-        # level-0 entry chunk
+        # optimistic schedule: requested level everywhere except the
+        # carried entry chunk
         sched = np.full((D, max_chunks), level, np.int32)
-        sched[0, 0] = current_level
-        r2s_snap, s2r_snap = r2s, s2r
-
+        sched[0, 0] = entry_level
+        outs = exc = None
         try:
-            out_g, expected, r2s, s2r = _encode_group_device(
-                blocks, ilens, sched, r2s_snap, s2r_snap, gilens, group,
-                nblocks, level, current_level, mesh=mesh,
-                max_tokens=max_tokens, max_chunks=max_chunks,
-                chunk_units=chunk_units, tokenizer=tokenizer,
-                out_words=out_words, header=header)
+            outs = parallel_encode_step(blocks, ilens,
+                                        shard_put(sched, mesh, P(AXIS, None)),
+                                        r2s_in, s2r_in, **kw)
+        except Exception as e:  # surfaces when this group is consumed
+            exc = e
+        return dict(group=group, blocks=blocks, ilens=ilens, gblocks=gblocks,
+                    gilens=gilens, sched=sched, entry=entry_level,
+                    r2s_in=r2s_in, s2r_in=s2r_in, outs=outs, exc=exc)
+
+    # 1-deep pipeline: group g+1's tokenize step is DISPATCHED (async)
+    # before group g's host stages run, chaining the MTF state through
+    # device-resident arrays -- the device chews g+1 while the host gathers
+    # histograms, builds length tables, and frames g.  The lookahead
+    # predicts g's exit level == the requested level (the adaptive drop is
+    # rare); a mispredict or an in-group schedule fix invalidates the
+    # lookahead's inputs and re-dispatches it (counted in metrics).
+    pend = dispatch(0, current_level, r2s, s2r)
+    for group in range(0, nblocks, D):
+        cur = pend
+        nxt = group + D
+        pend = dispatch(nxt, level, cur["outs"][-2], cur["outs"][-1]) \
+            if nxt < nblocks and cur["outs"] is not None else None
+        try:
+            if cur["outs"] is None:
+                raise cur["exc"]
+            out_g, expected, r2s, s2r, clean = _finish_group_device(
+                cur, group, nblocks, level, out_words=out_words,
+                header=header, **kw)
         except Exception:
             if not elastic:
                 raise
@@ -437,32 +461,41 @@ def mesh_encode(data: bytes, level: int, mesh: Mesh | None = None,
 
             metrics.registry.count("enc.group_failover")
             out_g, r2s_np, s2r_np, expected = _host_encode_group(
-                gblocks, gilens, level, current_level,
-                host_gather(r2s_snap), host_gather(s2r_snap), max_tokens)
+                cur["gblocks"], cur["gilens"], level, cur["entry"],
+                host_gather(cur["r2s_in"]), host_gather(cur["s2r_in"]),
+                max_tokens)
             r2s, s2r = jnp.asarray(r2s_np), jnp.asarray(s2r_np)
+            clean = False
         out.extend(out_g)
         current_level = expected
+        if nxt < nblocks and (pend is None or not clean
+                              or expected != level):
+            if pend is not None:
+                from ..utils import metrics
+
+                metrics.registry.count("enc.pipeline_redispatch")
+            pend = dispatch(nxt, expected, r2s, s2r)
     return bytes(out)
 
 
-def _encode_group_device(blocks, ilens, sched, r2s_snap, s2r_snap, gilens,
-                         group, nblocks, level, current_level, *, mesh,
+def _finish_group_device(cur: dict, group, nblocks, level, *, mesh,
                          max_tokens, max_chunks, chunk_units, tokenizer,
                          out_words, header):
-    """Device encode of one block group (tokenize + carry + tables + pack +
-    schedule validation + framing).  Returns (group bytes, exit level,
-    carried r2s, s2r)."""
+    """Host/device tail of one block group whose tokenize step was already
+    dispatched (tables + pack + schedule validation + framing).  Returns
+    (group bytes, exit level, carried r2s, s2r, clean) where clean=False
+    means the group's tokenize was re-run (schedule fix) and any lookahead
+    chained from the original outputs is invalid."""
     D = mesh.devices.size
+    sched, gilens = cur["sched"], cur["gilens"]
+    current_level = cur["entry"]
+    outs = cur["outs"]
     passes = 0
     while True:
         passes += 1
         t0 = _time.perf_counter()
-        lv = shard_put(sched, mesh, P(AXIS, None))
         (sym2, idx, valid, nunits, ntoks, encpos, n_chunks,
-         r2s_new, s2r_new) = parallel_encode_step(
-            blocks, ilens, lv, r2s_snap, s2r_snap, mesh=mesh,
-            max_tokens=max_tokens, max_chunks=max_chunks,
-            chunk_units=chunk_units, tokenizer=tokenizer)
+         r2s_new, s2r_new) = outs
         t0 = _psync("encode_step", t0, r2s_new, n_chunks)
         nchunks_np = host_gather(n_chunks)
         # BUCKET the chunk axis to the realized count (rounded up to 8 for
@@ -524,6 +557,15 @@ def _encode_group_device(blocks, ilens, sched, r2s_snap, s2r_snap, gilens,
         _psync("validate", t0)
         if not any_fix:
             break
+        # corrected schedule: re-run this group's tokenize from the same
+        # carried state (the lookahead chained off the old outputs is now
+        # stale -- the caller re-dispatches it on clean=False)
+        outs = parallel_encode_step(
+            cur["blocks"], cur["ilens"],
+            shard_put(sched, mesh, P(AXIS, None)),
+            cur["r2s_in"], cur["s2r_in"], mesh=mesh, max_tokens=max_tokens,
+            max_chunks=max_chunks, chunk_units=chunk_units,
+            tokenizer=tokenizer)
 
     if passes > 1:
         from ..utils import metrics
@@ -555,4 +597,4 @@ def _encode_group_device(blocks, ilens, sched, r2s_snap, s2r_snap, gilens,
             out.extend(payload)
         out.append(0)
     _psync("frame", t0)
-    return bytes(out), expected, r2s_new, s2r_new
+    return bytes(out), expected, r2s_new, s2r_new, passes == 1
