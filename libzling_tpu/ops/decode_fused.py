@@ -298,24 +298,6 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
 
         delta = jnp.maximum(opos - src, 1)
 
-        # tail bytes from the SOURCE side: out[opos+k] == out[src+k%delta]
-        # for k >= 0 (an overlapping copy replicates the delta-period
-        # pattern), and src + (mlen-j)%delta < opos is already-written
-        # content.  Unconditional value-domain extracts (indices clamped
-        # in-bounds for the non-match/corrupt cases, values then discarded);
-        # issued right before the copy region so its vector work fills their
-        # latency, consumed only after it.
-        pmax = OUT_ROWS * 128 - 1
-        p1 = jnp.clip(src + jax.lax.rem(mlen - 1, delta), 0, pmax)
-        p2 = jnp.clip(src + jax.lax.rem(mlen - 2, delta), 0, pmax)
-        p3 = jnp.clip(src + jax.lax.rem(mlen - 3, delta), 0, pmax)
-        r1 = out_vmem[pl.ds(_srl(p1, 7), 1), :]
-        r2 = out_vmem[pl.ds(_srl(p2, 7), 1), :]
-        r3 = out_vmem[pl.ds(_srl(p3, 7), 1), :]
-        b1v = jnp.sum(jnp.where(IOTA == (p1 & 127), r1, 0))
-        b2v = jnp.sum(jnp.where(IOTA == (p2 & 127), r2, 0))
-        b3v = jnp.sum(jnp.where(IOTA == (p3 & 127), r3, 0))
-
         @pl.when(mlen > 0)
         def _():
             n0 = jnp.minimum(mlen, delta)
@@ -330,9 +312,23 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
 
         new_opos = opos + jnp.where(is_match, mlen, n_simple)
 
-        cb1 = jnp.where(is_match, b1v, 0) & 255
-        cb2 = jnp.where(is_match, b2v, 0) & 255
-        cb3 = jnp.where(is_match, b3v, 0) & 255
+        # one combined branch-gated extract per match: destination bytes
+        # new_opos-3..-1 as cb3<<16 | cb2<<8 | cb1 (the body is ISSUE-bound,
+        # DESIGN.md -1: the old source-side scheme spent 3 rems + 3 one-hot
+        # reductions to overlap latency the loop wasn't paying for; this is
+        # the split kernel's cheaper destination-side read)
+        @pl.when(mlen > 0)
+        def _():
+            tail = aligned_row(new_opos - 3)
+            pers_ref[1] = jnp.sum(jnp.where(
+                IOTA == 0, tail << 16,
+                jnp.where(IOTA == 1, tail << 8,
+                          jnp.where(IOTA == 2, tail, 0))))
+
+        packed_tail = jnp.where(is_match, pers_ref[1], 0)
+        cb1 = packed_tail & 255
+        cb2 = _srl(packed_tail, 8) & 255
+        cb3 = _srl(packed_tail, 16) & 255
 
         reload = out_vmem[
             pl.ds(jnp.where(is_match, _srl(new_opos, 7), 0), 1), :]

@@ -148,15 +148,6 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         w = pltpu.roll(block_vmem[pl.ds(r0, 4), :], shift=-sh, axis=1)
         return jnp.where(IOTA3 < 128 - sh, w[0:L_ROWS, :], w[1:L_ROWS + 1, :])
 
-    def funnel1(p):
-        """[1,128] window whose lane 0 is block byte p (p >= 0)."""
-        r0 = jnp.clip(_srl(p, 7), 0, block_rows - 2)
-        sh = p & 127
-        a = pltpu.roll(block_vmem[pl.ds(r0, 1), :], shift=-sh, axis=1)
-        b = pltpu.roll(block_vmem[pl.ds(r0 + 1, 1), :], shift=-sh, axis=1)
-        return jnp.where(IOTA < 128 - sh, a, b)
-
-    POW31 = jnp.where(IOTA < 31, 1 << jnp.minimum(IOTA, 30), 0)
 
     def onehot(ref, row, lane):
         r = ref[pl.ds(row, 1), :]
@@ -209,11 +200,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
         Read-only probe: on a tag hit the hash head and the first node's
         (slot, chain) come from the SMEM cache, so the common depth-1
-        probes (e0-e1) cost one VMEM extract (the want-compare) total --
-        and ZERO extracts when the shared fetch region precomputed the
-        mismatch MASK (pers_ref[3]: bit i = candidate byte i != source
-        byte i, lanes 0..30): the 4-byte probe at maxlen-3 is then a
-        scalar shift-and-test for every maxlen <= 30.
+        probes (e0-e1) cost one VMEM extract (the want-compare) total.
 
         pre: optionally (hit, lvl0_ok, cached node0, line) computed BEFORE
         the main walk, with the head / slot+chain transfers already issued
@@ -252,9 +239,6 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         need_fetch = start_ok & ~lvl0_ok
         if prefetched:
             need_fetch = need_fetch & ~hit
-            use_mask = hit & lvl0_ok & (probe_at <= 27)
-        else:
-            use_mask = jnp.bool_(False)
 
         @pl.when(need_fetch)
         def _():
@@ -266,16 +250,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         s0 = jnp.where(lvl0_ok, cs0_ref[0, line], pers_ref[14])
         nxt0 = jnp.where(lvl0_ok, cn1_ref[0, line] & 0xFFFF, pers_ref[15])
         off0 = s0 & 0xFFFFFF
-
-        # the candidate probe word costs a ~140-cycle extract: skip it
-        # entirely when the precomputed mask covers the window
-        @pl.when(start_ok & ~use_mask)
-        def _():
-            pers_ref[8] = u32le_cand(off0 + probe_at)
-
-        hit0 = start_ok & jnp.where(
-            use_mask, (_srl(pers_ref[3], probe_at) & 15) == 0,
-            pers_ref[8] == want)
+        hit0 = start_ok & (u32le_cand(off0 + probe_at) == want)
         done0 = ~start_ok | hit0 | (depth <= 1) | (nxt0 == _NIL)
 
         def lbody(carry):
@@ -397,14 +372,13 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         fetch1_c = lvl0_ok & ~lvl1_ok & ~done1_c
         need_lhead = lazy_on & ~lhit1
         need_lcell = lazy_on & lhit1 & ~llvl0_1
-        # lazy-probe mismatch mask: when the lazy key's node-0 slot is
-        # cache-served, precompute bit i = (candidate byte i != source byte
-        # i) for lanes 0..30 -- the probe's 4-byte window test then needs
-        # NO extract for any maxlen <= 30 (the common case)
-        need_lmask = lazy_on & lhit1 & llvl0_1
-        loff1 = cs0_ref[0, lline1] & 0xFFFFFF
+        # (a lazy-probe mismatch MASK precomputed here -- bit i = cand byte
+        # i != src byte i, serving the probe's 4-byte test without any
+        # extract -- was tried and REGRESSED 1037 -> 1054 ns/unit: the two
+        # window builds + weighted reduction tax every region entry, while
+        # the extract they replace was latency that mostly overlapped)
 
-        @pl.when(fetch0 | need_lhead | need_lcell | fetch1_c | need_lmask)
+        @pl.when(fetch0 | need_lhead | need_lcell | fetch1_c)
         def _():
             n0 = jnp.where(fetch0, node0, 0)
             pers_ref[jnp.where(fetch0, 9, 4)] = onehot(
@@ -423,10 +397,6 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
                 slot_ref, ctx * 32 + _srl(n1, 7), n1 & 127)
             pers_ref[jnp.where(fetch1_c, 12, 4)] = onehot(
                 chain_ref, ctx * 32 + _srl(n1, 7), n1 & 127)
-            na = funnel1(ipos + 1) != funnel1(jnp.where(need_lmask,
-                                                        loff1, 0))
-            pers_ref[jnp.where(need_lmask, 3, 4)] = jnp.sum(
-                jnp.where(na, POW31, 0))
 
         s0 = jnp.where(lvl0_ok, e_s0, pers_ref[9])
         nxt0 = jnp.where(lvl0_ok, e_n1, pers_ref[10])
