@@ -7,6 +7,9 @@ Backends:
   "tpu"    -- fully on-device codec: decode via the fused Pallas kernel,
               encode via the Pallas ROLZ tokenizer on a single-device mesh
               (libzling_tpu.device; canonical 16 MB geometry)
+  "mesh"   -- multi-chip lane over the default jax Mesh: block-DP encode
+              (parallel.mesh) and sharded-entropy pipelined decode
+              (parallel.decode_mesh); canonical byte-identical streams
   "auto"   -- fastest available: native for host calls; use the
               ``libzling_tpu.codec`` module directly for device pipelines.
 """
@@ -51,6 +54,15 @@ def _register_backends() -> None:
 
         _BACKENDS_ENC["tpu"] = _device.encode
         _BACKENDS_DEC["tpu"] = _device.decode
+    except Exception:  # pragma: no cover - jax unavailable
+        pass
+    try:
+        from .parallel import decode_mesh as _dmesh, mesh as _pmesh
+
+        # multi-chip lane: encode block-DP over the default mesh, decode
+        # with per-chunk entropy sharded over it (decode_mesh.py)
+        _BACKENDS_ENC["mesh"] = lambda d, lvl: _pmesh.mesh_encode(d, lvl)
+        _BACKENDS_DEC["mesh"] = _dmesh.mesh_decode
     except Exception:  # pragma: no cover - jax unavailable
         pass
 

@@ -298,6 +298,31 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
 
         delta = jnp.maximum(opos - src, 1)
 
+        # tail bytes from the SOURCE side: out[opos+k] == out[src+k%delta]
+        # for k >= 0 (an overlapping copy replicates the delta-period
+        # pattern), and src + (mlen-j)%delta < opos is already-written
+        # content.  Unconditional value-domain extracts (indices clamped
+        # in-bounds for the non-match/corrupt cases, values then discarded)
+        # issued right before the copy region so its vector work fills
+        # their latency, consumed only after it.  A destination-side read
+        # after the copy (the split kernel's scheme) measured 315 vs 257
+        # ns/token here: the post-copy extract latency is exposed, while
+        # these three overlap.  One rem + two modular decrements and ONE
+        # combined weighted reduction keep the issue cost down.
+        pmax = OUT_ROWS * 128 - 1
+        k1 = jax.lax.rem(mlen - 1, delta)
+        k2 = jnp.where(k1 > 0, k1 - 1, delta - 1)
+        k3 = jnp.where(k2 > 0, k2 - 1, delta - 1)
+        p1 = jnp.clip(src + k1, 0, pmax)
+        p2 = jnp.clip(src + k2, 0, pmax)
+        p3 = jnp.clip(src + k3, 0, pmax)
+        r1 = out_vmem[pl.ds(_srl(p1, 7), 1), :]
+        r2 = out_vmem[pl.ds(_srl(p2, 7), 1), :]
+        r3 = out_vmem[pl.ds(_srl(p3, 7), 1), :]
+        comb = jnp.sum(jnp.where(IOTA == (p1 & 127), r1, 0)
+                       + jnp.where(IOTA == (p2 & 127), r2 << 8, 0)
+                       + jnp.where(IOTA == (p3 & 127), r3 << 16, 0))
+
         @pl.when(mlen > 0)
         def _():
             n0 = jnp.minimum(mlen, delta)
@@ -312,20 +337,7 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
 
         new_opos = opos + jnp.where(is_match, mlen, n_simple)
 
-        # one combined branch-gated extract per match: destination bytes
-        # new_opos-3..-1 as cb3<<16 | cb2<<8 | cb1 (the body is ISSUE-bound,
-        # DESIGN.md -1: the old source-side scheme spent 3 rems + 3 one-hot
-        # reductions to overlap latency the loop wasn't paying for; this is
-        # the split kernel's cheaper destination-side read)
-        @pl.when(mlen > 0)
-        def _():
-            tail = aligned_row(new_opos - 3)
-            pers_ref[1] = jnp.sum(jnp.where(
-                IOTA == 0, tail << 16,
-                jnp.where(IOTA == 1, tail << 8,
-                          jnp.where(IOTA == 2, tail, 0))))
-
-        packed_tail = jnp.where(is_match, pers_ref[1], 0)
+        packed_tail = jnp.where(is_match, comb, 0)
         cb1 = packed_tail & 255
         cb2 = _srl(packed_tail, 8) & 255
         cb3 = _srl(packed_tail, 16) & 255
