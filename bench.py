@@ -202,38 +202,6 @@ def main() -> None:
                         log("  " + line.strip())
             except Exception:
                 pass
-        t = budget(400)
-        if t > 0:
-            try:
-                # literal-path floor: all-literal (incompressible) stream
-                # through the fused decoder's literal-run fast loop
-                log("device decode, all-literal stream...")
-                r = subprocess.run(
-                    [sys.executable,
-                     str(REPO / "tools" / "bench_device_decode.py"),
-                     "--mb", "8", "--random"], capture_output=True, text=True,
-                    timeout=t)
-                for line in r.stdout.splitlines():
-                    if line.startswith("kernel:"):
-                        results["tpu"]["decode_kernel_mbps_random_8MB"] = \
-                            float(line.split("->")[1].split("MB/s")[0])
-                        log("  " + line.strip())
-            except Exception:
-                pass
-        t = budget(400)
-        if t > 0:
-            try:
-                log("device entropy kernel...")
-                r = subprocess.run(
-                    [sys.executable, str(REPO / "tools" / "bench_device.py"),
-                     "--mb", "32"], capture_output=True, text=True, timeout=t)
-                for line in r.stdout.splitlines():
-                    if line.startswith("warm:"):
-                        results["tpu"]["entropy_mtoks"] = float(
-                            line.split("->")[1].split("M tok/s")[0])
-                        log("  " + line.strip())
-            except Exception:
-                pass
         t = budget(900)
         if t > 0:
             try:
@@ -257,6 +225,38 @@ def main() -> None:
                             line.split("->")[1].split("MB/s")[0])
                         log("  " + line.strip())
                 log(f"  bit-exact vs host pipeline: {verified}")
+            except Exception:
+                pass
+        t = budget(400)
+        if t > 0:
+            try:
+                log("device entropy kernel...")
+                r = subprocess.run(
+                    [sys.executable, str(REPO / "tools" / "bench_device.py"),
+                     "--mb", "32"], capture_output=True, text=True, timeout=t)
+                for line in r.stdout.splitlines():
+                    if line.startswith("warm:"):
+                        results["tpu"]["entropy_mtoks"] = float(
+                            line.split("->")[1].split("M tok/s")[0])
+                        log("  " + line.strip())
+            except Exception:
+                pass
+        t = budget(400)
+        if t > 0:
+            try:
+                # literal-path floor: all-literal (incompressible) stream
+                # through the fused decoder's literal-run fast loop
+                log("device decode, all-literal stream...")
+                r = subprocess.run(
+                    [sys.executable,
+                     str(REPO / "tools" / "bench_device_decode.py"),
+                     "--mb", "8", "--random"], capture_output=True, text=True,
+                    timeout=t)
+                for line in r.stdout.splitlines():
+                    if line.startswith("kernel:"):
+                        results["tpu"]["decode_kernel_mbps_random_8MB"] = \
+                            float(line.split("->")[1].split("MB/s")[0])
+                        log("  " + line.strip())
             except Exception:
                 pass
 
