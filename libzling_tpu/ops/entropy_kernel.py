@@ -21,20 +21,22 @@ kernel uses:
     proofs for dynamic DMA offsets; see pl.multiple_of below).
 
 Measured on the v5e: 10.3 M tok/s round 2 (two-unit unrolled loop); 11.1 M
-tok/s round 3 on the superseded single-chain FOUR-unit unrolled loop
-(32.7 MB/s of input at 32 MB, tables built on device; best-of-N timing --
-the tunnel adds 2-3x run variance).  The COMMITTED kernel below is the
-chunk-paired restructure of that loop; its own compiled-mode rate is
-whatever tools/bench_device.py printed most recently (bench.py records it
-as tpu.entropy_mtoks each round) -- do not cite the 11.1 figure for the
-paired variant without a fresh run.  ~50x the measured XLA formulation
-either way.
+tok/s round 3 on the superseded single-chain FOUR-unit unrolled loop.
+The COMMITTED chunk-paired kernel measures **10.0 M tok/s (29.4 MB/s of
+input) at 32 MB e0, all 44 chunks bit-exact compiled on the v5e**
+(round 4; tools/bench_device.py) -- ~10% below the single-chain unroll on
+this single-core part; its value is the pair axis for multi-core parts
+and the mesh decode lane (parallel/decode_mesh.py).  ~50x the measured
+XLA formulation either way.
 
-Verified bit-exact against the native oracle in interpreter mode
-(tests/test_entropy_kernel.py: slab-refill, burst-flush, leftover-carry and
->LUT_BITS fallback paths); compiled-mode verification on the v5e is
-tools/bench_device.py (all chunks of a 33 MB e0 stream), which must be
-re-run after any kernel restructure before citing device numbers.
+Round-4 compile lesson: the original paired restructure kept the pair in
+one (2, N) SMEM scratch and DMA'd single rows -- Mosaic REJECTS slicing
+dim 0 of a (2, N) SMEM memref to size 1 ("must be aligned to tiling
+(2)"), so the kernel had never actually compiled on hardware; interpret
+-mode tests cannot catch this class.  The pair axis must be two separate
+(1, N) scratch refs selected by the Python member index.  Any kernel
+restructure MUST be followed by a compiled-mode device run before its
+numbers are cited.
 
 Table construction is jitted XLA on device (the host ships only the tiny
 nibble-unpacked length arrays); the windows-to-symbol classification
@@ -187,9 +189,16 @@ def _srl(x, n):
 
 def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
                          words_ref, out_ref, status_ref,
-                         slab_ref, obuf_ref, fb_ref, sem_in, sem_out,
+                         slab_a, slab_b, obuf_a, obuf_b, fb_ref,
+                         sem_in, sem_out,
                          *, slab_words: int, flush_tokens: int,
                          out_tokens: int):
+    # per-member slab/output buffers: Mosaic rejects DMA slices of a single
+    # row out of a (2, N) SMEM memref ("slice shape along dimension 0 must
+    # be aligned to tiling (2)"), so the pair axis is two separate (1, N)
+    # scratch refs selected by the PYTHON member index k
+    slabs = (slab_a, slab_b)
+    obufs = (obuf_a, obuf_b)
     # Each grid step decodes a PAIR of chunks with their two serial
     # bit-reader chains interleaved: chunks are entropy-independent (own
     # tables and payload, reference src/libzling.cpp:212-229), and the unit
@@ -213,14 +222,14 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         # woff is chunk-relative, 128-word aligned by construction
         src = pl.multiple_of(word_base + woff, 128)
         cp = pltpu.make_async_copy(words_ref.at[0, pl.ds(src, slab_words)],
-                                   slab_ref.at[k, :], sem_in)
+                                   slabs[k].at[0, :], sem_in)
         cp.start()
         cp.wait()
 
     def one_unit(k, rlen, wpos, woff, lo, hi, nbits, emitted, obuf_n, bad,
                  active):
         # refill the accumulator (at most one word per unit)
-        w = slab_ref[k, wpos - woff]
+        w = slabs[k][0, wpos - woff]
         fill = active & (nbits < 32)
         lo = jnp.where(fill, lo | (w << nbits), lo)
         hi = jnp.where(fill, _srl(w, 32 - nbits), hi)
@@ -279,8 +288,8 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         lo = jnp.where(active, lo2, lo)
         hi = jnp.where(active, hi2, hi)
         nbits = nbits - jnp.where(active, nc, 0)
-        obuf_ref[k, obuf_n] = sym
-        obuf_ref[k, obuf_n + 1] = idxtok
+        obufs[k][0, obuf_n] = sym
+        obufs[k][0, obuf_n + 1] = idxtok
         adv = jnp.where(active, 1 + is_match.astype(jnp.int32), 0)
         obuf_n = obuf_n + adv
         emitted = emitted + adv
@@ -307,7 +316,7 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
             # out is flat [1, C * out_tokens]: single-row slices of tiled 2-D
             # HBM arrays are not DMA-able (sublane tiling), flat offsets are
             dst = pl.multiple_of(out_base + nflushed * flush_tokens, 128)
-            cp = pltpu.make_async_copy(obuf_ref.at[k, pl.ds(0, flush_tokens)],
+            cp = pltpu.make_async_copy(obufs[k].at[0, pl.ds(0, flush_tokens)],
                                        out_ref.at[0, pl.ds(dst, flush_tokens)],
                                        sem_out)
             cp.start()
@@ -315,7 +324,7 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
             # carry any leftover tokens (slots beyond obuf_n are garbage and
             # get overwritten or never read)
             for q in range(8):
-                obuf_ref[k, q] = obuf_ref[k, flush_tokens + q]
+                obufs[k][0, q] = obufs[k][0, flush_tokens + q]
 
         nflushed = nflushed + do_flush.astype(jnp.int32)
         obuf_n = jnp.where(do_flush, obuf_n - flush_tokens, obuf_n)
@@ -358,7 +367,7 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         return live_a | live_b
 
     def init(k):
-        return (jnp.int32(2), jnp.int32(0), slab_ref[k, 0], slab_ref[k, 1],
+        return (jnp.int32(2), jnp.int32(0), slabs[k][0, 0], slabs[k][0, 1],
                 jnp.int32(64), jnp.int32(0), jnp.int32(0), jnp.int32(0),
                 jnp.bool_(False))
 
@@ -375,7 +384,7 @@ def _decode_chunk_kernel(meta_ref, order_ref, lut1_ref, lut2_ref,
         @pl.when(obuf_n > 0)
         def _(k=k, nflushed=nflushed):
             dst = pl.multiple_of(out_base[k] + nflushed * flush_tokens, 128)
-            cp = pltpu.make_async_copy(obuf_ref.at[k, pl.ds(0, flush_tokens)],
+            cp = pltpu.make_async_copy(obufs[k].at[0, pl.ds(0, flush_tokens)],
                                        out_ref.at[0, pl.ds(dst, flush_tokens)],
                                        sem_out)
             cp.start()
@@ -415,8 +424,10 @@ def _decode_call(meta, order1, lut1, lut2, words, interpret: bool = False,
             jax.ShapeDtypeStruct((C, 8, 128), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.SMEM((2, slab_words), jnp.int32),
-            pltpu.SMEM((2, flush_tokens + 8), jnp.int32),
+            pltpu.SMEM((1, slab_words), jnp.int32),
+            pltpu.SMEM((1, slab_words), jnp.int32),
+            pltpu.SMEM((1, flush_tokens + 8), jnp.int32),
+            pltpu.SMEM((1, flush_tokens + 8), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
