@@ -126,6 +126,12 @@ def test_mesh_decode_multidevice():
                                       **small)
         assert out == data
 
+    # empty input block (0x00 flag alone) before real blocks: the group
+    # structure must skip it without desyncing block ids or output bases
+    crafted = b"\x00" + stream
+    assert decode_mesh.mesh_decode(crafted, mesh=mesh, group_blocks=1,
+                                   **small) == spec.decode(crafted)
+
     # corrupt payload must raise, not return garbage (offset 300 sits in
     # the first chunk's Huffman bits and is spec-verified detectable; table
     # -region flips can be benign, and the format has no checksum)
