@@ -93,7 +93,7 @@ def main() -> None:
     from libzling_tpu.native import engine
 
     results: dict = {"levels": {}, "reference": {}}
-    for level in (0, 1, 2, 3, 4, 5):
+    for level in (0, 1, 2, 3, 4, 5, 6):
         ref = None
         if level <= 4:
             log(f"reference e{level}...")
@@ -115,6 +115,10 @@ def main() -> None:
             ref4 = results["reference"].get("e4")
             if ref4:
                 assert len(stream) < ref4["bytes"], "e5 must out-compress reference e4"
+        if level == 6:
+            # deepest extended level: must beat e5 or it has no reason to exist
+            assert len(stream) < results["levels"]["e5"]["bytes"], \
+                "e6 must out-compress e5"
         results["levels"][f"e{level}"] = {
             "enc_mbps": round(SIZE / t_enc / 1e6, 1),
             "dec_mbps": round(SIZE / t_dec / 1e6, 1),
@@ -216,8 +220,13 @@ def main() -> None:
                      str(REPO / "tools" / "bench_device_api.py"),
                      "--mb", "32", "--repeats", "1"],
                     capture_output=True, text=True, timeout=t)
-                verified = any(line.startswith("bit-exact PASS")
-                               for line in r.stdout.splitlines())
+                # only a clean run may record the verdict: a crashed/empty
+                # subprocess is "not-run" (null), not a bit-exactness failure
+                if r.returncode == 0 and r.stdout.strip():
+                    verified = any(line.startswith("bit-exact PASS")
+                                   for line in r.stdout.splitlines())
+                else:
+                    verified = None
                 results["tpu"]["encode_api_bitexact_32MB"] = verified
                 for line in r.stdout.splitlines():
                     if line.startswith("warm:"):

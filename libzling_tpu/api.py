@@ -42,29 +42,48 @@ def _register_backends() -> None:
         _BACKENDS_DEC["pipeline"] = _pipeline.decode
     except Exception:  # pragma: no cover - native build unavailable
         pass
-    try:
+
+    # device backends import jax (seconds of import time + hundreds of MB of
+    # RSS, and on this environment possibly a TPU-tunnel handshake): register
+    # them LAZILY so host-only calls and the CLI never pay for them
+    def _enc_jax(d, lvl):
         from . import codec as _jax_codec
 
-        _BACKENDS_ENC["jax"] = lambda d, lvl: _jax_codec.encode(d, lvl)
-        _BACKENDS_DEC["jax"] = _jax_codec.decode
-    except Exception:  # pragma: no cover - jax unavailable
-        pass
-    try:
+        return _jax_codec.encode(d, lvl)
+
+    def _dec_jax(d):
+        from . import codec as _jax_codec
+
+        return _jax_codec.decode(d)
+
+    def _enc_tpu(d, lvl):
         from . import device as _device
 
-        _BACKENDS_ENC["tpu"] = _device.encode
-        _BACKENDS_DEC["tpu"] = _device.decode
-    except Exception:  # pragma: no cover - jax unavailable
-        pass
-    try:
-        from .parallel import decode_mesh as _dmesh, mesh as _pmesh
+        return _device.encode(d, lvl)
 
-        # multi-chip lane: encode block-DP over the default mesh, decode
-        # with per-chunk entropy sharded over it (decode_mesh.py)
-        _BACKENDS_ENC["mesh"] = lambda d, lvl: _pmesh.mesh_encode(d, lvl)
-        _BACKENDS_DEC["mesh"] = _dmesh.mesh_decode
-    except Exception:  # pragma: no cover - jax unavailable
-        pass
+    def _dec_tpu(d):
+        from . import device as _device
+
+        return _device.decode(d)
+
+    def _enc_mesh(d, lvl):
+        # multi-chip lane: encode block-DP over the default mesh
+        from .parallel import mesh as _pmesh
+
+        return _pmesh.mesh_encode(d, lvl)
+
+    def _dec_mesh(d):
+        # per-chunk entropy sharded over the default mesh (decode_mesh.py)
+        from .parallel import decode_mesh as _dmesh
+
+        return _dmesh.mesh_decode(d)
+
+    _BACKENDS_ENC["jax"] = _enc_jax
+    _BACKENDS_DEC["jax"] = _dec_jax
+    _BACKENDS_ENC["tpu"] = _enc_tpu
+    _BACKENDS_DEC["tpu"] = _dec_tpu
+    _BACKENDS_ENC["mesh"] = _enc_mesh
+    _BACKENDS_DEC["mesh"] = _dec_mesh
 
 
 _register_backends()
@@ -93,21 +112,40 @@ def decode(data: bytes, backend: str = "auto") -> bytes:
     return _resolve(_BACKENDS_DEC, backend)(bytes(data))
 
 
+# backends with a block-group carry API stream at O(group) memory
+# (utils/io.py); the device lanes need the whole buffer resident
+_STREAMING = ("auto", "pipeline")
+
+
 def encode_file(src: str, dst: str, level: int = 0, backend: str = "auto") -> tuple[int, int]:
-    """Compress file ``src`` to ``dst``; returns (bytes_in, bytes_out)."""
-    with open(src, "rb") as f:
-        data = f.read()
-    out = encode(data, level, backend)
-    with open(dst, "wb") as f:
-        f.write(out)
+    """Compress file ``src`` to ``dst``; returns (bytes_in, bytes_out).
+
+    The default backend streams in block groups (O(group) memory, like the
+    reference demo's 16 MB-block loop, demo/zling.cpp:117-151), so files
+    larger than RAM work; device backends buffer the whole file.
+    """
+    from .utils.io import FileSink, FileSource, stream_encode
+
+    with open(src, "rb") as fin, open(dst, "wb") as fout:
+        if backend in _STREAMING:
+            return stream_encode(FileSource(fin), FileSink(fout), level)
+        data = fin.read()
+        out = encode(data, level, backend)
+        fout.write(out)
     return len(data), len(out)
 
 
 def decode_file(src: str, dst: str, backend: str = "auto") -> tuple[int, int]:
-    """Decompress file ``src`` to ``dst``; returns (bytes_in, bytes_out)."""
-    with open(src, "rb") as f:
-        data = f.read()
-    out = decode(data, backend)
-    with open(dst, "wb") as f:
-        f.write(out)
+    """Decompress file ``src`` to ``dst``; returns (bytes_in, bytes_out).
+
+    Streams in block groups on the default backend (see ``encode_file``).
+    """
+    from .utils.io import FileSink, FileSource, stream_decode
+
+    with open(src, "rb") as fin, open(dst, "wb") as fout:
+        if backend in _STREAMING:
+            return stream_decode(FileSource(fin), FileSink(fout))
+        data = fin.read()
+        out = decode(data, backend)
+        fout.write(out)
     return len(data), len(out)

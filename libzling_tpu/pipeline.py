@@ -252,15 +252,11 @@ class ParallelEncoder:
         # optimistic schedule: every chunk at the requested level
         predicted = [np.full(_MAX_CHUNKS, level, np.int32) for _ in range(nblocks)]
 
-        def tokenize_with_retry(v, n, lv):
-            try:
-                return self._tokenize_block(v, n, lv)
-            except Exception:
-                # blocks are pure functions of (bytes, schedule): retry once
-                return self._tokenize_block(v, n, lv)
-
+        # no retry wrapper: _tokenize_block is a pure function of
+        # (bytes, schedule), so its only failure ("tokenize overflow") is
+        # deterministic and retrying could only double the cost of a real bug
         futures = [
-            self.pool.submit(_PRIO_TOKENIZE, tokenize_with_retry, v, len(v), predicted[b])
+            self.pool.submit(_PRIO_TOKENIZE, self._tokenize_block, v, len(v), predicted[b])
             for b, v in enumerate(views)
         ]
 
@@ -348,6 +344,11 @@ class ParallelEncoder:
                         view, len(view), sched)
                 out[opos] = 0
                 opos += 1
+                # always-firing registry counters: prove the metrics wiring
+                # is live in every bench artifact (drops/mispredicts only
+                # fire on mixed-compressibility inputs)
+                metrics.registry.count("enc.blocks")
+                metrics.registry.count("enc.chunks", len(rl_arr))
                 self.tok.give_back(tokens)
                 tokens = None
         finally:
@@ -466,6 +467,8 @@ class ParallelDecoder:
             pos += olen
         if last_encpos != 0:
             raise ValueError("zling: truncated stream (missing stop flag)")
+        metrics.registry.count("dec.blocks", len(block_sizes))
+        metrics.registry.count("dec.chunks", len(chunks))
 
         total = sum(block_sizes)
         if self._out is None or self._out.size < total + SENTINEL_LEN:

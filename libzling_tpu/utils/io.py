@@ -18,6 +18,8 @@ from .. import pipeline
 from ..tables import BLOCK_SIZE_HUFFMAN, BLOCK_SIZE_IN
 
 _GROUP = 4 * BLOCK_SIZE_IN
+_GROUP_BLOCKS = 4          # decode: max decoded input_blocks in flight
+_DEC_READ = 8 << 20        # decode: compressed read granularity
 
 
 class ByteSource:
@@ -131,16 +133,27 @@ def stream_encode(src: ByteSource, dst: ByteSink, level: int = 0,
     return n_in, n_out
 
 
-def _take_block_spans(buf: bytearray, at_end: bool) -> bytes:
-    """Pop complete input_block spans (through their stop flags) off buf."""
+def _take_block_spans(buf: bytearray, at_end: bool,
+                      max_blocks: int | None = None) -> bytes:
+    """Pop complete input_block spans (through their stop flags) off buf.
+
+    ``max_blocks`` caps how many complete blocks are taken per call: the
+    decode direction must bound memory by DECODED size (a 64 MB compressed
+    read of a highly-compressible stream can hold gigabytes of output), so
+    the streaming loop pops small groups of blocks at a time.
+    """
     pos = 0
     last_complete = 0
     n = len(buf)
+    blocks = 0
     while pos < n:
         flag = buf[pos]
         pos += 1
         if flag == 0:
             last_complete = pos
+            blocks += 1
+            if max_blocks is not None and blocks >= max_blocks:
+                break
             continue
         if flag != 1:
             raise ValueError("zling: corrupt stream (bad framing)")
@@ -170,23 +183,29 @@ def stream_decode(src: ByteSource, dst: ByteSink, backend: str = "auto",
     carry = None
     pending = bytearray()
     n_in = n_out = 0
+    n_consumed = 0  # compressed bytes already handed to the decoder
     done = False
     while not done:
-        chunk = src.read(_GROUP)
+        chunk = src.read(_DEC_READ)
         n_in += len(chunk)
         pending.extend(chunk)
         done = src.at_end()
-        spans = _take_block_spans(pending, done)
-        if spans:
+        while True:
+            # pop at most one group's worth of DECODED blocks per call so
+            # memory stays O(group) regardless of the compression ratio
+            spans = _take_block_spans(pending, done, _GROUP_BLOCKS)
+            if not spans:
+                break
             part, carry = dec.decode_with_carry(spans, carry)
             dst.write(part)
             if hooks and hooks.on_block:
-                bi = n_in - len(pending) - len(spans)
+                bi = n_consumed
                 bo = n_out
                 for dec_bytes, strm_bytes in _per_block_sizes(spans):
                     bi += strm_bytes
                     bo += dec_bytes
                     hooks.on_block(bi, bo)
+            n_consumed += len(spans)
             n_out += len(part)
     if pending:
         raise ValueError("zling: truncated stream (missing stop flag)")

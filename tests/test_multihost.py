@@ -54,7 +54,13 @@ def test_two_process_mesh_encode(tmp_path):
     outs = [tmp_path / f"stream_{i}.bin" for i in range(2)]
     ok, logs = _run_workers(outs, timeout=300)
     if not ok:
-        print("multihost attempt 1 failed, retrying:\n" + "\n".join(logs))
+        # surface the first failure even when the retry passes: a
+        # pass-after-retry must be visible in CI output, not swallowed by
+        # captured stdout (advisor round 4)
+        import warnings
+
+        warnings.warn("multihost attempt 1 failed (retry passed?):\n"
+                      + "\n".join(logs)[:2000], stacklevel=1)
         ok, logs = _run_workers(outs, timeout=300)
     assert ok, "\n".join(logs)
     s0, s1 = outs[0].read_bytes(), outs[1].read_bytes()

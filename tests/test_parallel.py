@@ -1,5 +1,7 @@
 """Multi-device block-DP encode on the virtual 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -102,6 +104,17 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("ZLT_FULL_DRYRUN"),
+                    reason="~10 min on 2 vCPUs; run with ZLT_FULL_DRYRUN=1")
+def test_graft_dryrun_multichip_full_geometry():
+    # the 64 KB-block geometry the driver gate doesn't run (advisor round 4):
+    # the opt-in registered entry point for the larger-lane coverage
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8, full=True)
 
 
 def test_mesh_decode_multidevice():
