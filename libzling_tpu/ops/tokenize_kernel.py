@@ -77,10 +77,12 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
                      *, chunk_stride: int, max_chunks: int, block_rows: int,
                      debug_flags: int = 0):
     # debug_flags (diagnostic builds only): 1 = chain cache off,
-    # 2 = lazy-1 prefetch off, 4 = lazy probes off
+    # 2 = lazy-1 prefetch off, 4 = lazy probes off, 8 = vector-domain lazy
+    # verdict off (fall back to the scalar want-compare probe)
     DBG_NO_CACHE = bool(debug_flags & 1)
     DBG_NO_PREFETCH = bool(debug_flags & 2)
     DBG_NO_LAZY = bool(debug_flags & 4)
+    DBG_NO_MASK = bool(debug_flags & 8)
     ilen = meta_ref[0, 0, 0]
     max_tokens = meta_ref[0, 0, 1]
     chunk_units = meta_ref[0, 0, 2]
@@ -195,63 +197,10 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
     def cache_line(key):
         return (key ^ _srl(key, 8)) & (CACHE_LINES - 1)
 
-    def lazy_probe(p, maxlen, depth, soff, pre=None):
-        """MatchLazy (libzling_lz.cpp:291-316), dynamic depth, cache-served.
+    def lazy_walk(p, probe_at, want, lctx, depth, start):
+        """The shared chain walk of MatchLazy from node index >= 1.
 
-        Read-only probe: on a tag hit the hash head and the first node's
-        (slot, chain) come from the SMEM cache, so the common depth-1
-        probes (e0-e1) cost one VMEM extract (the want-compare) total.
-
-        pre: optionally (hit, lvl0_ok, cached node0, line) computed BEFORE
-        the main walk, with the head / slot+chain transfers already issued
-        into pers_ref[13] / [14..15] so their latency hides under the walk
-        (the probe is read-only and sees exactly the post-insert table, so
-        hoisting is semantics-free -- probed in round 2)."""
-        lctx = sbyte(p - 1, soff)
-        if pre is None:
-            _, lslot = hash4(p, soff)
-            key = lctx * 8192 + lslot
-            line = cache_line(key)
-            hit = ctag_ref[0, line] == key
-            if DBG_NO_CACHE:
-                hit = jnp.bool_(False)
-            e_cnt = ccnt_ref[0, line]
-
-            @pl.when(~hit)
-            def _():
-                pers_ref[13] = onehot(hash_ref, lctx * 64 + _srl(lslot, 7),
-                                      lslot & 127)
-
-            node0_c = e_cnt & 4095
-            lvl0_ok = hit & ((head_ref[0, lctx] - e_cnt) < 4096)
-            prefetched = False
-        else:
-            hit, lvl0_ok, node0_c, line = pre
-            prefetched = True
-
-        node0 = jnp.where(hit, node0_c, pers_ref[13])
-        probe_at = maxlen - 3
-        want = u32le_slab(p + probe_at, soff)
-        start_ok = node0 != _NIL
-
-        # step 0 unrolled: SMEM-served on a live hit; otherwise the fetch
-        # either already happened (prefetched miss path) or issues here
-        need_fetch = start_ok & ~lvl0_ok
-        if prefetched:
-            need_fetch = need_fetch & ~hit
-
-        @pl.when(need_fetch)
-        def _():
-            pers_ref[14] = onehot(slot_ref, lctx * 32 + _srl(node0, 7),
-                                  node0 & 127)
-            pers_ref[15] = onehot(chain_ref, lctx * 32 + _srl(node0, 7),
-                                  node0 & 127)
-
-        s0 = jnp.where(lvl0_ok, cs0_ref[0, line], pers_ref[14])
-        nxt0 = jnp.where(lvl0_ok, cn1_ref[0, line] & 0xFFFF, pers_ref[15])
-        off0 = s0 & 0xFFFFFF
-        hit0 = start_ok & (u32le_cand(off0 + probe_at) == want)
-        done0 = ~start_ok | hit0 | (depth <= 1) | (nxt0 == _NIL)
+        start = (i0, node_start, prev_off, hit0, done0)."""
 
         def lbody(carry):
             i, node, prev_off, hit, done = carry
@@ -269,10 +218,81 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
             done = done | (nxt == _NIL)
             return i + 1, jnp.where(done, node, nxt), off, hit, done
 
-        _, _, _, lhit, _ = jax.lax.while_loop(
-            lambda c: ~c[4], lbody,
-            (jnp.int32(1), jnp.where(done0, node0, nxt0), off0, hit0, done0))
+        _, _, _, lhit, _ = jax.lax.while_loop(lambda c: ~c[4], lbody, start)
         return lhit
+
+    def lazy_probe(p, maxlen, depth, soff, pre=None):
+        """MatchLazy (libzling_lz.cpp:291-316), dynamic depth, cache-served.
+
+        Read-only probe: on a tag hit the hash head and the first node's
+        (slot, chain) come from the SMEM cache, so the common depth-1
+        probes (e0-e1) cost one VMEM extract (the want-compare) total.
+
+        pre: optionally (hit, lvl0_ok, cached node0, line, cells_ready)
+        computed BEFORE the main walk, with the head / slot+chain transfers
+        already issued into pers_ref[13] / [14..15] so their latency hides
+        under the walk (the probe is read-only and sees exactly the
+        post-insert table, so hoisting is semantics-free -- probed in
+        round 2).  cells_ready marks that the tag-miss node's cells were
+        already fetched from the LCP region (vector-verdict path)."""
+        lctx = sbyte(p - 1, soff)
+        if pre is None:
+            _, lslot = hash4(p, soff)
+            key = lctx * 8192 + lslot
+            line = cache_line(key)
+            hit = ctag_ref[0, line] == key
+            if DBG_NO_CACHE:
+                hit = jnp.bool_(False)
+            e_cnt = ccnt_ref[0, line]
+
+            @pl.when(~hit)
+            def _():
+                pers_ref[13] = onehot(hash_ref, lctx * 64 + _srl(lslot, 7),
+                                      lslot & 127)
+
+            node0_c = e_cnt & 4095
+            lvl0_ok = hit & ((head_ref[0, lctx] - e_cnt) < 4096)
+            cells_ready = jnp.bool_(False)
+            prefetched = False
+        else:
+            hit, lvl0_ok, node0_c, line, cells_ready = pre
+            prefetched = True
+
+        node0 = jnp.where(hit, node0_c, pers_ref[13])
+        probe_at = maxlen - 3
+        want = u32le_slab(p + probe_at, soff)
+        start_ok = node0 != _NIL
+
+        # step 0 unrolled: SMEM-served on a live hit; otherwise the fetch
+        # either already happened (prefetched miss path) or issues here
+        need_fetch = start_ok & ~lvl0_ok & ~cells_ready
+        if prefetched:
+            need_fetch = need_fetch & ~hit
+
+        @pl.when(need_fetch)
+        def _():
+            pers_ref[14] = onehot(slot_ref, lctx * 32 + _srl(node0, 7),
+                                  node0 & 127)
+            pers_ref[15] = onehot(chain_ref, lctx * 32 + _srl(node0, 7),
+                                  node0 & 127)
+
+        s0 = jnp.where(lvl0_ok, cs0_ref[0, line], pers_ref[14])
+        nxt0 = jnp.where(lvl0_ok, cn1_ref[0, line] & 0xFFFF, pers_ref[15])
+        off0 = s0 & 0xFFFFFF
+        hit0 = start_ok & (u32le_cand(off0 + probe_at) == want)
+        done0 = ~start_ok | hit0 | (depth <= 1) | (nxt0 == _NIL)
+        return lazy_walk(p, probe_at, want, lctx, depth,
+                         (jnp.int32(1), jnp.where(done0, node0, nxt0), off0,
+                          hit0, done0))
+
+    # (round-5 probed and REVERTED: cross-unit software pipelining of this
+    # front end -- running the next unit's hash/cache lookup + head/cell
+    # transfers from the previous unit's tail.  A pl.when-region form
+    # measured 1054 ns/unit and a region-free value-carried form 1106
+    # vs 1010 without: the region end forces its extracts on the spot, and
+    # the unconditional-extract form's ~3 extra transfers + 5 loop carries
+    # per unit cost more issue than the ~140-cycle miss wave they hide.
+    # The kernel is issue-bound; see DESIGN.md round-5.)
 
     def find_match(ipos, soff, depth, lazy1, lazy2):
         """MatchAndUpdate (libzling_lz.cpp:211-289): insert then walk.
@@ -289,8 +309,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
           * the maxlen == kMatchMaxLen early break (libzling_lz.cpp:
             254-256) is dropped: replacement needs strictly-greater
             length, impossible at the cap, so selection is unchanged and
-            the LCP extract no longer feeds walk control.
-
+            the LCP extract no longer feeds walk control;
         Writes (found, mlen, midx) to pers_ref[0..2]."""
         ctx = sbyte(ipos - 1, soff)
         check, hslot = hash4(ipos, soff)
@@ -355,6 +374,9 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         le_cnt1 = ccnt_ref[0, lline1]
         llvl0_1 = lhit1 & ((head_ref[0, lctx1] - le_cnt1) < 4096)
         lnode0_1 = le_cnt1 & 4095
+        # the lazy line's snapshot words, for the vector-domain verdict
+        le_s0_1 = cs0_ref[0, lline1]
+        le_n1_1 = cn1_ref[0, lline1] & 0xFFFF
 
         # ---- ONE shared fetch region.  Separate pl.when regions SERIALIZE
         # independent extracts while extracts issued together overlap to
@@ -428,6 +450,9 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         off1 = s1 & 0xFFFFFF
         done1b = done1 | (off0 <= off1)
         check1 = ~done1b & ((_srl(s1, 24) & 255) == check)
+        # deep-walk entry condition, known BEFORE the LCP region: the lazy
+        # verdict below is only valid when no deeper node can change best_len
+        done2 = done1b | (depth < 3) | (nxt1 == _NIL)
 
         # direct funnel LCP on check-hits.  ONE region for both steps: the
         # two min extracts are independent, and issuing them from the same
@@ -439,8 +464,43 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
             fip = funnel3(ipos)
             neq0 = fip != funnel3(jnp.where(check0, off0, 0))
             neq1 = fip != funnel3(jnp.where(check1, off1, 0))
-            pers_ref[5] = jnp.min(jnp.where(neq0, POS3, 999))
-            pers_ref[6] = jnp.min(jnp.where(neq1, POS3, 999))
+            m0 = jnp.min(jnp.where(neq0, POS3, 999))
+            m1 = jnp.min(jnp.where(neq1, POS3, 999))
+            pers_ref[5] = m0
+            pers_ref[6] = m1
+            if not DBG_NO_MASK:
+                # ---- speculative lazy step-0 verdict, vector domain ----
+                # MatchLazy's node-0 test is `cand[off+pa .. +4) == src[p+1+
+                # pa ..)` with pa = best_len - 3 (libzling_lz.cpp:291-316).
+                # All its inputs exist HERE: best_len replicated as a
+                # broadcast reduction of the same neq masks, the candidate
+                # offset from the lazy cache line / wave-A cells, and the
+                # byte windows as two more funnel builds.  The verdict
+                # reduces to ONE extra scalar extract issued WITH the two
+                # LCP extracts (independent extracts overlap, DESIGN.md
+                # section 0) -- removing the whole dependent want-compare
+                # wave from the common e0/e1 lazy path.
+                lcp0v = jnp.where(check0, jnp.minimum(m0, MATCH_MAX_LEN), 0)
+                lcp0v = jnp.where(lcp0v >= MATCH_MIN_LEN, lcp0v, 0)
+                lcp1v = jnp.where(check1, jnp.minimum(m1, MATCH_MAX_LEN), 0)
+                lcp1v = jnp.where(lcp1v >= MATCH_MIN_LEN, lcp1v, 0)
+                bestv = jnp.maximum(jnp.int32(MATCH_MIN_LEN - 1), lcp0v)
+                bestv = jnp.maximum(bestv, lcp1v)
+                pav = bestv - 3
+                loff = jnp.where(llvl0_1, le_s0_1, pers_ref[14]) & 0xFFFFFF
+                neql = funnel3(ipos + 1) != funnel3(
+                    jnp.where(lhit1, loff, 0))
+                badv = (POS3 >= pav) & (POS3 < pav + 4) & neql
+                pers_ref[16] = jnp.sum(badv.astype(jnp.int32))
+                # lazy tag-miss: the node id arrived in wave A (pers 13);
+                # fetch its cells NOW so the scalar fallback pays one
+                # transfer wave instead of two (discard-slot pattern)
+                ln_ok = lazy_on & ~lhit1 & (pers_ref[13] != _NIL)
+                ln = jnp.where(ln_ok, pers_ref[13], 0)
+                pers_ref[jnp.where(ln_ok, 14, 4)] = onehot(
+                    slot_ref, lctx1 * 32 + _srl(ln, 7), ln & 127)
+                pers_ref[jnp.where(ln_ok, 15, 4)] = onehot(
+                    chain_ref, lctx1 * 32 + _srl(ln, 7), ln & 127)
 
         # hit-rate counters (stat row 7; reference debug-counter analog,
         # src/libzling_debug.h): attempts / cache levels / check hits
@@ -464,7 +524,6 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         best_len = jnp.where(b1, lcp1, best_len)
         best_node = jnp.where(b1, node1, best_node)
 
-        done2 = done1b | (depth < 3) | (nxt1 == _NIL)
         stat_ref[0, 7, 5] += (~done2).astype(jnp.int32)
 
         def wbody(carry):
@@ -514,12 +573,47 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         # every lazy-gated unit (probe_tokenize_cost.py)
         stat_ref[0, 7, 6] += (lazy_gate & (lazy1 > 0)).astype(jnp.int32)
 
-        @pl.when(lazy_gate & (lazy1 > 0))
+        if DBG_NO_MASK or DBG_NO_PREFETCH:
+            mask_ok = jnp.bool_(False)
+            mask_hit = jnp.bool_(False)
+            mask_done = jnp.bool_(False)
+        else:
+            # the in-region verdict is valid when the lazy node-0 offset was
+            # known at region time (lazy tag hit) and the deep walk did not
+            # run (done2 at entry => best_len unchanged since the region)
+            mask_ok = lazy_on & lhit1 & done2
+            mask_hit = pers_ref[16] == 0
+            lnxt0 = jnp.where(llvl0_1, le_n1_1, pers_ref[15])
+            # step-0 verdict settles the probe when it hit, when the probe
+            # is depth-1 (e0/e1), or when the chain ends at node 0
+            mask_done = mask_hit | (lazy1 <= 1) | (lnxt0 == _NIL)
+        use_mask = lazy_gate & (lazy1 > 0) & mask_ok
+        stat_ref[0, 7, 8] += use_mask.astype(jnp.int32)
+
+        @pl.when(use_mask)
+        def _():
+            pers_ref[7] = mask_hit.astype(jnp.int32)
+
+        @pl.when(use_mask & ~mask_done)
+        def _():
+            # mask said node-0 miss and the probe walks deeper (lazy1 > 1):
+            # continue the chain from node 1 exactly as lazy_probe would
+            loffs = jnp.where(llvl0_1, le_s0_1, pers_ref[14]) & 0xFFFFFF
+            probe_at = best_len - 3
+            want = u32le_slab(ipos + 1 + probe_at, soff)
+            pers_ref[7] = lazy_walk(
+                ipos + 1, probe_at, want, lctx1, lazy1,
+                (jnp.int32(1), lnxt0, loffs, jnp.bool_(False),
+                 jnp.bool_(False))).astype(jnp.int32)
+
+        @pl.when(lazy_gate & (lazy1 > 0) & ~mask_ok)
         def _():
             pers_ref[7] = lazy_probe(
                 ipos + 1, best_len, lazy1, soff,
                 pre=None if DBG_NO_PREFETCH
-                else (lhit1, llvl0_1, lnode0_1, lline1)).astype(jnp.int32)
+                else (lhit1, llvl0_1, lnode0_1, lline1,
+                      jnp.bool_(False) if DBG_NO_MASK
+                      else (check0 | check1))).astype(jnp.int32)
 
         @pl.when(lazy_gate & (lazy2 > 0) & (pers_ref[7] == 0))
         def _():
@@ -700,7 +794,7 @@ def _tokenize_call(meta, block_flat, interpret: bool = False,
             pltpu.SMEM((1, STAGE_UNITS + 8), jnp.int32),
             pltpu.SMEM((1, 258), jnp.int32),
             pltpu.SMEM((1, 516 + 2), jnp.int32),
-            pltpu.SMEM((16,), jnp.int32),
+            pltpu.SMEM((24,), jnp.int32),
             pltpu.SMEM((1, CACHE_LINES), jnp.int32),
             pltpu.SMEM((1, CACHE_LINES), jnp.int32),
             pltpu.SMEM((1, CACHE_LINES), jnp.int32),
