@@ -182,6 +182,31 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
         is_match = ~is_head & (t >= 258)
         ctx = l1
 
+        # ---- ring head update; flush the staging row so the source-side
+        # tail reads (and the copy) see every byte below opos -- harmless
+        # for non-match units (lanes >= opos are rewritten before any
+        # reader sees them).  Schedule ported from ops/decode_fused.py:
+        # the ring-source lookup is an UNCONDITIONAL value-domain extract
+        # with a clamped cell (a pl.when region's end forces its extracts
+        # to complete, exposing the ~140-cycle transfer; a value's latency
+        # overlaps the MTF/MRU SMEM work below -- measured 257 vs 315
+        # ns/token on the fused kernel, DESIGN.md section -1).
+        rctx = jnp.where(is_head, 256, ctx)
+        h = (head_ref[0, rctx] + 1) & 4095
+        head_ref[0, rctx] = h
+
+        out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
+
+        # lookup BEFORE the insert: cell (h - midx) != insert cell h for
+        # every legal midx != 0 (midx == 0 is rejected as corrupt)
+        ls = (h - jnp.where(is_match, midx, 1)) & 4095
+        lrow = ring_ref[pl.ds(ctx * 32 + _srl(ls, 7), 1), :]
+        srcv = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
+
+        rrow = jnp.where(is_head, RING_ROWS - 1, ctx * 32 + _srl(h, 7))
+        row = ring_ref[pl.ds(rrow, 1), :]
+        ring_ref[pl.ds(rrow, 1), :] = jnp.where(IOTA == (h & 127), opos, row)
+
         # ---- literal via sticky MTF (dummy context 256 when inactive)
         tl = jnp.where(is_lit, t, 0) & 255
         lit_byte = mtf_ref[0, ctx * 256 + tl]
@@ -196,23 +221,7 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
         b0 = _srl(w, 8) & 255
         b1 = w & 255
 
-        # ---- ring insert at opos THEN source lookup (libzling_lz.cpp:388-399)
-        # The lookup's vector->scalar extract (~140 cyc) is branch-gated so
-        # literals/words never pay it; the value passes through SMEM.
-        rctx = jnp.where(is_head, 256, ctx)
-        h = (head_ref[0, rctx] + 1) & 4095
-        head_ref[0, rctx] = h
-        rrow = jnp.where(is_head, RING_ROWS - 1, ctx * 32 + _srl(h, 7))
-        row = ring_ref[pl.ds(rrow, 1), :]
-        ring_ref[pl.ds(rrow, 1), :] = jnp.where(IOTA == (h & 127), opos, row)
-
-        @pl.when(is_match)
-        def _():
-            ls = (h - midx) & 4095
-            lrow = ring_ref[pl.ds(ctx * 32 + _srl(ls, 7), 1), :]
-            pers_ref[2] = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
-
-        src = jnp.where(is_match, pers_ref[2], 1)
+        src = jnp.where(is_match, srcv, 1)
 
         bad = bad | (is_match & ((midx == 0) | (src == 0) | (src >= opos)
                                  | (tpos + 1 >= rlen)))
@@ -234,16 +243,33 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
         cur_row = put(cur_row, opos, eb0, n_simple >= 1)
         cur_row = put(cur_row, opos + 1, b1, n_simple >= 2)
 
-        # ---- match copy: flush cur_row for coherency, then vector funnel
-        # moves.  Overlapping copies (delta < mlen) double the written
-        # prefix, which equals the reference's forward byte-by-byte order.
+        # ---- match copy (vector funnel moves).  Overlapping copies
+        # (delta < mlen) double the written prefix, which equals the
+        # reference's forward byte-by-byte order.
         mlen = jnp.where(is_match & ~bad, t - 258 + MATCH_MIN_LEN, 0)
 
-        @pl.when(is_match)
-        def _():
-            out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
-
         delta = jnp.maximum(opos - src, 1)
+
+        # tail bytes from the SOURCE side: out[opos+k] == out[src+k%delta]
+        # for k >= 0, so bytes new_opos-3..-1 are already-written content at
+        # src + (mlen-j)%delta.  Unconditional value-domain extracts issued
+        # BEFORE the copy region so its vector work fills their latency
+        # (ops/decode_fused.py scheme: destination-side read after the copy
+        # measured 315 vs 257 ns/token).  One rem + two modular decrements
+        # and ONE combined weighted reduction keep the issue cost down.
+        pmax = OUT_ROWS * 128 - 1
+        k1 = jax.lax.rem(mlen - 1, delta)
+        k2 = jnp.where(k1 > 0, k1 - 1, delta - 1)
+        k3 = jnp.where(k2 > 0, k2 - 1, delta - 1)
+        p1 = jnp.clip(src + k1, 0, pmax)
+        p2 = jnp.clip(src + k2, 0, pmax)
+        p3 = jnp.clip(src + k3, 0, pmax)
+        r1 = out_vmem[pl.ds(_srl(p1, 7), 1), :]
+        r2 = out_vmem[pl.ds(_srl(p2, 7), 1), :]
+        r3 = out_vmem[pl.ds(_srl(p3, 7), 1), :]
+        comb = jnp.sum(jnp.where(IOTA == (p1 & 127), r1, 0)
+                       + jnp.where(IOTA == (p2 & 127), r2 << 8, 0)
+                       + jnp.where(IOTA == (p3 & 127), r3 << 16, 0))
 
         @pl.when(mlen > 0)
         def _():
@@ -260,18 +286,7 @@ def _resolve_kernel(mtfnext_ref, meta_ref, mtf0_ref, tokens_ref,
 
         new_opos = opos + jnp.where(is_match, mlen, n_simple)
 
-        # one combined branch-gated extract per match: bytes new_opos-3..-1
-        # as cb3*2^16 + cb2*2^8 + cb1 (feeds the MRU push and the l1/l2
-        # context carries)
-        @pl.when(mlen > 0)
-        def _():
-            tail = aligned_row(new_opos - 3)
-            pers_ref[3] = jnp.sum(jnp.where(
-                IOTA == 0, tail << 16,
-                jnp.where(IOTA == 1, tail << 8,
-                          jnp.where(IOTA == 2, tail, 0))))
-
-        packed_tail = jnp.where(is_match, pers_ref[3], 0)
+        packed_tail = jnp.where(is_match, comb, 0)
         cb1 = packed_tail & 255
         cb2 = _srl(packed_tail, 8) & 255
         cb3 = _srl(packed_tail, 16) & 255

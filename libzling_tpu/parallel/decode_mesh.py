@@ -72,12 +72,20 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
                 slab_words: int = ek.SLAB_WORDS,
                 flush_tokens: int = ek.FLUSH_TOKENS,
                 max_tokens: int = ek.MAX_TOKENS,
-                slab_tokens: int = rk.SLAB_TOKENS) -> bytes:
+                slab_tokens: int = rk.SLAB_TOKENS,
+                stage_probe: dict | None = None) -> bytes:
     """Decode a zling stream with entropy decode sharded over the mesh.
 
     Bit-exact with ``spec.decode``; corrupt streams raise ValueError with
     the same strictness as the single-device tpu backend (device.py).
+
+    stage_probe: optional dict that receives per-stage wall times
+    ("entropy_s", "gather_s", "resolve_s") with a forced status fetch after
+    each stage -- this serializes the group pipeline, so it is a
+    measurement mode, not the production path (bench tooling / DESIGN's
+    serial-fraction model).
     """
+    import time
     if not data:
         return b""
     if mesh is None:
@@ -147,6 +155,7 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
         wb[:cg] = wb_g
         nw[:cg] = nw_g
 
+        t0 = time.perf_counter()
         tokens, estatus = _entropy_step(
             shard_put(l1, mesh, P(AXIS, None)),
             shard_put(l2, mesh, P(AXIS, None)),
@@ -156,10 +165,20 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
             shard_put(words[None, :], mesh, P(None, None)),
             mesh=mesh, interpret=interpret, slab_words=slab_words,
             flush_tokens=flush_tokens, max_tokens=max_tokens)
+        if stage_probe is not None:
+            np.asarray(estatus)  # forced fetch (block_until_ready does not
+            stage_probe["entropy_s"] = stage_probe.get("entropy_s", 0.) \
+                + time.perf_counter() - t0  # sync on this platform)
+            t0 = time.perf_counter()
 
         # ---- reassemble on device 0 (ICI gather on real parts) and run
         # the serial resolve chain there; MTF carries group to group
         tokens0 = jax.device_put(tokens, dev0).reshape(1, Cp * out_tokens)
+        if stage_probe is not None:
+            jax.block_until_ready(tokens0)
+            stage_probe["gather_s"] = stage_probe.get("gather_s", 0.) \
+                + time.perf_counter() - t0
+            t0 = time.perf_counter()
 
         base_rows = np.cumsum([0] + rows_of[b0:b1])[:-1]
         encpos = np.zeros(Cp, np.int32)
@@ -180,6 +199,10 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
             tokens0, rl, encpos, new_block, hbm_base,
             out_tokens, out_words, interpret=interpret,
             slab_tokens=slab_tokens, mtf0=mtf)
+        if stage_probe is not None:
+            np.asarray(rstatus)  # forced fetch
+            stage_probe["resolve_s"] = stage_probe.get("resolve_s", 0.) \
+                + time.perf_counter() - t0
         fetched.append((packed, rstatus, estatus, b0, b1, base_rows, cg,
                         rl.copy()))
         # no host sync here: group g+1's entropy dispatches while group

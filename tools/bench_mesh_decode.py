@@ -1,0 +1,59 @@
+"""Benchmark the multi-device decode lane (parallel/decode_mesh.py) on the
+real chip: warm end-to-end rate, per-stage split (entropy / gather /
+resolve), and the crossover device count where the sharded lane passes the
+fused single-core kernel.
+
+Usage: python tools/bench_mesh_decode.py [--mb 24] [--group-blocks 1]
+"""
+
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import numpy as np
+
+from libzling_tpu import pipeline
+from libzling_tpu.parallel import decode_mesh, mesh as pmesh
+from tools.make_corpus import cached_corpus
+
+mb = int(sys.argv[sys.argv.index("--mb") + 1]) if "--mb" in sys.argv else 24
+gb = int(sys.argv[sys.argv.index("--group-blocks") + 1]) \
+    if "--group-blocks" in sys.argv else 1
+
+data = cached_corpus(100_000_000).read_bytes()[: mb * 1048576]
+stream = pipeline.encode(data, 0)
+print(f"{len(data)} -> {len(stream)} bytes e0", flush=True)
+
+mesh = pmesh.make_mesh()
+t0 = time.perf_counter()
+out = decode_mesh.mesh_decode(stream, mesh=mesh, group_blocks=gb)
+print(f"first call: {time.perf_counter()-t0:.1f}s", flush=True)
+assert out == data, "mesh decode mismatch"
+
+best = 1e9
+for _ in range(2):
+    t0 = time.perf_counter()
+    out = decode_mesh.mesh_decode(stream, mesh=mesh, group_blocks=gb)
+    best = min(best, time.perf_counter() - t0)
+assert out == data
+print(f"warm: {best:.2f}s -> {len(data)/best/1e6:.2f} MB/s mesh decode "
+      f"({mb} MB, group_blocks={gb})", flush=True)
+
+# stage split (serializes the pipeline on purpose)
+probe: dict = {}
+t0 = time.perf_counter()
+decode_mesh.mesh_decode(stream, mesh=mesh, group_blocks=gb,
+                        stage_probe=probe)
+tot = time.perf_counter() - t0
+ent, gat, res = (probe.get(k, 0.) for k in
+                 ("entropy_s", "gather_s", "resolve_s"))
+print(f"stages: entropy {ent:.2f}s, gather {gat:.2f}s, resolve {res:.2f}s "
+      f"(probe total {tot:.2f}s)", flush=True)
+print(f"resolve-bound ceiling: {len(data)/(res+gat)/1e6:.2f} MB/s; "
+      f"resolve standalone: {len(data)/res/1e6:.2f} MB/s", flush=True)
+# crossover D: with entropy sharded D ways and overlapped with resolve,
+# lane rate ~ bytes / max(resolve+gather, entropy/D)
+for d in (1, 2, 4, 8):
+    rate = len(data) / max(res + gat, ent / d) / 1e6
+    print(f"  projected D={d}: {rate:.2f} MB/s", flush=True)

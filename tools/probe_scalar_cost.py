@@ -304,6 +304,242 @@ def main2():
         build()
 
 
+def build_match_kernel(*, ring=False, mtfmru=False, puts=False, tail=False,
+                       copy=False):
+    """Layered replica of the fused decoder's MATCH body
+    (ops/decode_fused.py resolve_unit, match path): every synthetic unit is
+    a match (mlen=6, delta=32), so layer deltas attribute the ~250-op body:
+
+      bitread+idx   decode_sym (alphabet-1 LUT + consume) + matchidx LUT +
+                    extra bits + second consume (all SMEM)
+      +ring         head update, UNCONDITIONAL ring-source extract
+                    (value-domain), one-hot ring insert RMW
+      +mtf/mru      sticky-MTF dummy swap + word-MRU probe/push (SMEM)
+      +puts         the two inactive put() blends + staging-row flush +
+                    post-copy row reload
+      +tail         k1/k2/k3 source-side tail: 3 row reads + ONE combined
+                    weighted reduction (the second transfer)
+      +copy         one vec_copy pass (2 rolls + blend) + doubling loop
+    """
+    OUT_ROWS = 1024
+
+    def kernel(n_ref, o_ref, slab, lut1, lut2, mtf, mru, head_ref, fb,
+               ring_ref, out_vmem):
+        IOTA = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        _srl = jax.lax.shift_right_logical
+
+        def init(i, _):
+            slab[0, i & 4095] = (i * 2654435761) & 0x7FFFFFFF
+            mtf[0, i % (257 * 256)] = i & 255
+            mru[0, i % 516] = 0
+            head_ref[0, i % 258] = 0
+            return 0
+
+        jax.lax.fori_loop(0, 257 * 256, init, 0)
+        zero = jnp.zeros((32, 128), jnp.int32)
+
+        def zv(i, _):
+            ring_ref[pl.ds((i % 256) * 32, 32), :] = zero
+            out_vmem[pl.ds((i % 32) * 32, 32), :] = zero + 7
+            return 0
+
+        jax.lax.fori_loop(0, 256, zv, 0)
+
+        def vec_copy(a, b, n):
+            def body(k, _):
+                rd = _srl(b, 7) + k
+                lo = jnp.maximum(b - rd * 128, 0)
+                hi = jnp.minimum(b + n - rd * 128, 128)
+
+                @pl.when(hi > lo)
+                def _():
+                    base = a - b + rd * 128
+                    sh = base & 127
+                    r0 = base >> 7
+                    r0c = jnp.clip(r0, 0, OUT_ROWS - 1)
+                    r1c = jnp.clip(r0 + 1, 0, OUT_ROWS - 1)
+                    va = pltpu.roll(out_vmem[pl.ds(r0c, 1), :], shift=-sh,
+                                    axis=1)
+                    vb = pltpu.roll(out_vmem[pl.ds(r1c, 1), :], shift=-sh,
+                                    axis=1)
+                    merged = jnp.where(IOTA < 128 - sh, va, vb)
+                    drow = out_vmem[pl.ds(rd, 1), :]
+                    out_vmem[pl.ds(rd, 1), :] = jnp.where(
+                        (IOTA >= lo) & (IOTA < hi), merged, drow)
+
+                return 0
+
+            jax.lax.fori_loop(0, _srl((b & 127) + n + 127, 7), body, 0)
+
+        def body(c):
+            (wpos, lo, hi, nbits, emitted, opos, l1, l2, cur_row, bad) = c
+
+            # ---- decode_sym replica (alphabet-1)
+            w = slab[0, wpos & 4095]
+            fill = nbits < 32
+            lo = jnp.where(fill, lo | (w << jnp.maximum(nbits, 1)), lo)
+            hi = jnp.where(fill, _srl(w, 32 - jnp.maximum(nbits, 1)), hi)
+            wpos = wpos + fill.astype(jnp.int32)
+            nbits = nbits + jnp.where(fill, 32, 0)
+            e = lut1[0, _srl(lo & 0xFFF, 9), lo & 0x1FF]
+
+            @pl.when(e < 0)
+            def _():
+                fb[0] = e & 7
+
+            ev = jnp.maximum(jnp.where(e < 0, fb[0], e), 0)
+            t = (ev & 0xFFFF) + 260  # force the match path
+            hl = jnp.maximum(_srl(ev, 16) & 31, 1)
+            lo = _srl(lo, hl) | (hi << (32 - hl))
+            hi = _srl(hi, hl)
+            nbits = nbits - hl
+
+            is_match = t >= 258
+            # ---- matchidx decode
+            p2 = lo & 0xFF
+            e2 = jnp.maximum(lut2[0, _srl(p2, 7), p2 & 0x7F], 0)
+            hl2 = e2 & 0xFF
+            blen = _srl(e2, 8) & 0xFF
+            extra = _srl(lo, hl2) & ((jnp.int32(1) << blen) - 1)
+            midx = (_srl(e2, 16) + extra) | 32  # synthetic: delta ~32
+            nc = jnp.maximum(hl2 + blen, 1)
+            lo = _srl(lo, nc) | (hi << (32 - nc))
+            hi = _srl(hi, nc)
+            nbits = nbits - nc
+            emitted = emitted + 2
+
+            ctx = l1
+            acc = t
+            if ring:
+                h = (head_ref[0, ctx] + 1) & 4095
+                head_ref[0, ctx] = h
+                out_vmem[pl.ds(_srl(opos, 7), 1), :] = cur_row
+                ls = (h - midx) & 4095
+                lrow = ring_ref[pl.ds((ctx & 255) * 32 + _srl(ls, 7), 1), :]
+                srcv = jnp.sum(jnp.where(IOTA == (ls & 127), lrow, 0))
+                rrow = (ctx & 255) * 32 + _srl(h, 7)
+                row = ring_ref[pl.ds(rrow, 1), :]
+                ring_ref[pl.ds(rrow, 1), :] = jnp.where(
+                    IOTA == (h & 127), opos, row)
+                acc = acc + (srcv & 1)
+            if mtfmru:
+                tl = t & 255
+                lit_byte = mtf[0, ctx * 256 + tl]
+                j = slab[0, tl] & 255
+                other = mtf[0, ctx * 256 + j]
+                mtf[0, 256 * 256 + tl] = other  # dummy ctx (match path)
+                mtf[0, 256 * 256 + j] = lit_byte
+                wv = mru[0, 514]
+                b0 = _srl(wv, 8) & 255
+                b1 = wv & 255
+                acc = acc + (b0 & 1) + (b1 & 1)
+
+            src = jnp.maximum(opos - 32, 0)
+            mlen = jnp.int32(6)
+            delta = jnp.maximum(opos - src, 1)
+
+            if puts:
+                n_simple = jnp.int32(0)
+                cur_row = jnp.where((n_simple >= 1) & (IOTA == (opos & 127)),
+                                    acc & 255, cur_row)
+                cur_row = jnp.where(
+                    (n_simple >= 2) & (IOTA == ((opos + 1) & 127)),
+                    acc & 255, cur_row)
+
+            if tail:
+                pmax = OUT_ROWS * 128 - 1
+                k1 = jax.lax.rem(mlen - 1, delta)
+                k2 = jnp.where(k1 > 0, k1 - 1, delta - 1)
+                k3 = jnp.where(k2 > 0, k2 - 1, delta - 1)
+                p1 = jnp.clip(src + k1, 0, pmax)
+                pp2 = jnp.clip(src + k2, 0, pmax)
+                p3 = jnp.clip(src + k3, 0, pmax)
+                r1 = out_vmem[pl.ds(_srl(p1, 7), 1), :]
+                r2 = out_vmem[pl.ds(_srl(pp2, 7), 1), :]
+                r3 = out_vmem[pl.ds(_srl(p3, 7), 1), :]
+                comb = jnp.sum(jnp.where(IOTA == (p1 & 127), r1, 0)
+                               + jnp.where(IOTA == (pp2 & 127), r2 << 8, 0)
+                               + jnp.where(IOTA == (p3 & 127), r3 << 16, 0))
+            else:
+                comb = jnp.int32(0)
+
+            if copy:
+                @pl.when(mlen > 0)
+                def _():
+                    n0 = jnp.minimum(mlen, delta)
+                    vec_copy(src, opos, n0)
+
+                    def dbl(done):
+                        n = jnp.minimum(mlen - done, done)
+                        vec_copy(opos, opos + done, n)
+                        return done + n
+
+                    jax.lax.while_loop(lambda d: d < mlen, dbl, n0)
+
+            new_opos = ((opos + mlen) & 65535) | 2
+            cb1 = comb & 255
+            cb2 = _srl(comb, 8) & 255
+            cb3 = _srl(comb, 16) & 255
+            if puts:
+                reload = out_vmem[pl.ds(_srl(new_opos, 7), 1), :]
+                cur_row = jnp.where(is_match, reload, cur_row)
+            if mtfmru:
+                cu = cb3
+                wu = cb2 * 256 + cb1
+                old0 = mru[0, cu * 2]
+                push = old0 != wu
+                pb = jnp.where(push, cu * 2, 514)
+                mru[0, pb + 1] = old0
+                mru[0, pb] = wu
+            l2n = cb2
+            l1n = cb1 | 1
+            bad = (new_opos > 131000) & (new_opos < 0)
+            return (wpos, lo, hi, nbits, emitted, new_opos, l1n, l2n,
+                    cur_row, bad)
+
+        r = jax.lax.while_loop(
+            lambda c: (c[4] < n_ref[0, 0]) & ~c[9], body,
+            (jnp.int32(2), jnp.int32(123456), jnp.int32(777), jnp.int32(64),
+             jnp.int32(0), jnp.int32(2), jnp.int32(1), jnp.int32(0),
+             jnp.zeros((1, 128), jnp.int32), jnp.bool_(False)))
+        o_ref[0, 0] = r[4]
+
+    return kernel
+
+
+def main3():
+    """Fused-decoder match-path op budget (round-3/4 ask): layered replica,
+    every unit a match.  N counts TOKENS (2/unit)."""
+    nn = jnp.full((1, 1), N // 4, jnp.int32)
+    scratch = [
+        pltpu.SMEM((1, 4096), jnp.int32),      # payload slab
+        pltpu.SMEM((1, 8, 512), jnp.int32),    # lut1
+        pltpu.SMEM((1, 8, 128), jnp.int32),    # lut2
+        pltpu.SMEM((1, 257 * 256), jnp.int32),  # mtf
+        pltpu.SMEM((1, 516), jnp.int32),       # mru
+        pltpu.SMEM((1, 258), jnp.int32),       # heads
+        pltpu.SMEM((8,), jnp.int32),           # fb
+        pltpu.VMEM((256 * 32, 128), jnp.int32),  # ring
+        pltpu.VMEM((1024, 128), jnp.int32),    # out
+    ]
+    layers = [
+        ("match: bitread+idx", {}),
+        ("match: +ring", dict(ring=True)),
+        ("match: +mtf/mru", dict(ring=True, mtfmru=True)),
+        ("match: +puts", dict(ring=True, mtfmru=True, puts=True)),
+        ("match: +tail", dict(ring=True, mtfmru=True, puts=True, tail=True)),
+        ("match: +copy (full)", dict(ring=True, mtfmru=True, puts=True,
+                                     tail=True, copy=True)),
+    ]
+    for name, cfg in layers:
+        run(name, build_match_kernel(**cfg), nn, scratch=scratch, n=N // 4)
+
+
 if __name__ == "__main__":
-    main()
-    main2()
+    import sys
+
+    if "--match" in sys.argv:
+        main3()
+    else:
+        main()
+        main2()

@@ -34,7 +34,7 @@ import jax  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", str(REPO / "build" / "jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-ARTIFACT = REPO / "MESH_CANONICAL_r04.json"
+ARTIFACT = REPO / "MESH_CANONICAL_r05.json"
 
 
 def main() -> None:
@@ -129,7 +129,9 @@ def main() -> None:
     doc = {}
     if ARTIFACT.exists():
         doc = json.loads(ARTIFACT.read_text())
-    doc[mode] = rec
+    # per-(mode, level) records: round-5 coverage ask -- e0 AND the deep
+    # walk + adaptive-drop path (e4) both at canonical geometry on hardware
+    doc[f"{mode}_e{args.level}"] = rec
     ARTIFACT.write_text(json.dumps(doc, indent=1))
     print(json.dumps(rec), flush=True)
 
