@@ -157,7 +157,7 @@ def main() -> None:
     # ordered cheap/high-value first and each gets min(cap, remaining).
     results["tpu"] = {}
     device_deadline = time.monotonic() + float(
-        os.environ.get("ZLT_DEVICE_BUDGET_S", "900"))
+        os.environ.get("ZLT_DEVICE_BUDGET_S", "1800"))
 
     def budget(cap: float) -> float:
         """Remaining device budget clipped to the section cap; <=0 → skip."""
@@ -248,6 +248,49 @@ def main() -> None:
                         results["tpu"]["entropy_mtoks"] = float(
                             line.split("->")[1].split("M tok/s")[0])
                         log("  " + line.strip())
+            except Exception:
+                pass
+        t = budget(900)
+        if t > 0:
+            try:
+                # encode scaling model (BASELINE.md scaling targets): probe
+                # the canonical mesh encode's per-stage wall time on the
+                # chip, then derive the serial fraction (host gathers /
+                # tables / framing vs shardable tokenize+pack) and the
+                # Amdahl-projected 8-chip scaling efficiency.  Model and
+                # caveats: DESIGN.md round-5 scaling section.
+                log("canonical mesh encode stage probe (scaling model)...")
+                r = subprocess.run(
+                    [sys.executable,
+                     str(REPO / "tools" / "run_canonical_mesh.py"),
+                     "--tpu", "--probe", "--no-verify", "--mb", "32",
+                     "--repeats", "2"],
+                    capture_output=True, text=True, timeout=t)
+                stages = {}
+                for line in r.stdout.splitlines():
+                    if line.strip().startswith("stage "):
+                        p = line.split()
+                        stages[p[1]] = float(p[2].rstrip("s"))
+                    elif line.startswith("mesh_encode["):
+                        results["tpu"]["encode_canonical_mbps_32MB"] = float(
+                            line.split("->")[1].split("MB/s")[0])
+                        log("  " + line.strip())
+                if stages:
+                    serial_keys = ("gather_freqs", "length_tables",
+                                   "gather_pack_meta", "validate",
+                                   "gather_words", "frame")
+                    ser = sum(stages.get(k, 0.0) for k in serial_keys)
+                    tot = sum(stages.values())
+                    s = ser / tot if tot else None
+                    if s is not None:
+                        speed8 = 1.0 / (s + (1.0 - s) / 8.0)
+                        results["tpu"]["encode_serial_fraction"] = round(s, 4)
+                        results["tpu"]["projected_scaling_8chip"] = round(
+                            speed8 / 8.0, 3)
+                        results["tpu"]["encode_stage_seconds"] = {
+                            k: round(v, 2) for k, v in stages.items()}
+                        log(f"  serial fraction {s:.3f} -> 8-chip efficiency "
+                            f"{speed8 / 8.0:.2f}")
             except Exception:
                 pass
         t = budget(400)

@@ -337,16 +337,38 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
 
         new_opos = opos + jnp.where(is_match, mlen, n_simple)
 
-        packed_tail = jnp.where(is_match, comb, 0)
-        cb1 = packed_tail & 255
-        cb2 = _srl(packed_tail, 8) & 255
-        cb3 = _srl(packed_tail, 16) & 255
-
         reload = out_vmem[
             pl.ds(jnp.where(is_match, _srl(new_opos, 7), 0), 1), :]
         cur_row = jnp.where(is_match, reload, cur_row)
 
-        cu = jnp.where(is_lit, l2, jnp.where(is_match, cb3, ctx))
+        bad = bad | (new_opos > encpos)
+        # the comb-consuming tail (MRU push, l1/l2 context carries) is
+        # DEFERRED to the caller, behind the next decode_sym: the tail
+        # extract feeds the next unit's context, so every ctx-independent
+        # op scheduled before its first use hides under the ~140-cycle
+        # transfer (probe_scalar_cost --match: the tail wave is the match
+        # body's dominant cost, +81 ns/token; the bit-reader is ctx-free)
+        defer = (comb, is_match, is_lit, is_word, ctx, l1, lit_byte, wv,
+                 b0, b1, eb0, t)
+        return (wpos, woff, lo, hi, nbits, emitted, new_opos, l2, cur_row,
+                bad, defer)
+
+    def body(carry):
+        (wpos, woff, lo, hi, nbits, emitted, opos, l2old, cur_row,
+         bad, defer) = resolve_unit(carry)
+        more = (emitted < rlen) & ~bad
+        wpos, woff, lo, hi, nbits, t2, bad = decode_sym(
+            wpos, woff, lo, hi, nbits, bad, more)
+        pend = jnp.where(more, t2, -1)
+
+        # deferred comb consumers (see resolve_unit): MRU push + carries
+        (comb, is_match, is_lit, is_word, ctx, l1old, lit_byte, wv,
+         b0, b1, eb0, t) = defer
+        packed_tail = jnp.where(is_match, comb, 0)
+        cb1 = packed_tail & 255
+        cb2 = _srl(packed_tail, 8) & 255
+        cb3 = _srl(packed_tail, 16) & 255
+        cu = jnp.where(is_lit, l2old, jnp.where(is_match, cb3, ctx))
         wu = jnp.where(is_lit, ctx * 256 + lit_byte,
                        jnp.where(is_match, cb2 * 256 + cb1, wv))
         old0 = mru_ref[0, cu * 2]
@@ -354,21 +376,8 @@ def _fused_kernel(mtfnext_ref, meta_ref, order_ref, lut1_ref, lut2_ref,
         pb = jnp.where(push, cu * 2, 514)
         mru_ref[0, pb + 1] = old0
         mru_ref[0, pb] = wu
-
-        new_l1 = jnp.where(is_match, cb1, jnp.where(is_word, b1, eb0))
-        new_l2 = jnp.where(is_match, cb2, jnp.where(is_word, b0, l1))
-
-        bad = bad | (new_opos > encpos)
-        return (wpos, woff, lo, hi, nbits, emitted, new_opos, new_l1,
-                new_l2, cur_row, bad)
-
-    def body(carry):
-        (wpos, woff, lo, hi, nbits, emitted, opos, l1, l2, cur_row,
-         bad) = resolve_unit(carry)
-        more = (emitted < rlen) & ~bad
-        wpos, woff, lo, hi, nbits, t2, bad = decode_sym(
-            wpos, woff, lo, hi, nbits, bad, more)
-        pend = jnp.where(more, t2, -1)
+        l1 = jnp.where(is_match, cb1, jnp.where(is_word, b1, eb0))
+        l2 = jnp.where(is_match, cb2, jnp.where(is_word, b0, l1old))
 
         # ---- literal fast loop.  Consecutive literal units (the majority
         # of units at every level) run a minimal body -- ring insert, MTF

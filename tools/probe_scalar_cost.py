@@ -329,7 +329,7 @@ def build_match_kernel(*, ring=False, mtfmru=False, puts=False, tail=False,
         _srl = jax.lax.shift_right_logical
 
         def init(i, _):
-            slab[0, i & 4095] = (i * 2654435761) & 0x7FFFFFFF
+            slab[0, i & 4095] = (i * 40503) & 0x7FFFFFFF
             mtf[0, i % (257 * 256)] = i & 255
             mru[0, i % 516] = 0
             head_ref[0, i % 258] = 0

@@ -130,8 +130,13 @@ def main() -> None:
     if ARTIFACT.exists():
         doc = json.loads(ARTIFACT.read_text())
     # per-(mode, level) records: round-5 coverage ask -- e0 AND the deep
-    # walk + adaptive-drop path (e4) both at canonical geometry on hardware
-    doc[f"{mode}_e{args.level}"] = rec
+    # walk + adaptive-drop path (e4) both at canonical geometry on hardware.
+    # Probed no-verify runs (the bench's scaling-model source) get their own
+    # key so they never clobber a verified byte_identical row.
+    key = f"{mode}_e{args.level}"
+    if args.probe and args.no_verify:
+        key += "_probe"
+    doc[key] = rec
     ARTIFACT.write_text(json.dumps(doc, indent=1))
     print(json.dumps(rec), flush=True)
 
