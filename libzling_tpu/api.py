@@ -117,6 +117,21 @@ def decode(data: bytes, backend: str = "auto") -> bytes:
 _STREAMING = ("auto", "pipeline")
 
 
+def effective_backend(backend: str) -> str:
+    """Apply the LIBZLING_TPU_BACKEND override to 'auto' (the same rule
+    _resolve uses), so streaming-vs-buffering decisions see the user's
+    pinned backend -- the single source of truth for the CLI too."""
+    if backend == "auto":
+        return os.environ.get("LIBZLING_TPU_BACKEND", "") or "auto"
+    return backend
+
+
+def streams_by_default(backend: str) -> bool:
+    """True when this backend routes through the block-group streaming
+    pipeline (O(group) memory) rather than buffering the whole input."""
+    return effective_backend(backend) in _STREAMING
+
+
 def encode_file(src: str, dst: str, level: int = 0, backend: str = "auto") -> tuple[int, int]:
     """Compress file ``src`` to ``dst``; returns (bytes_in, bytes_out).
 
@@ -127,7 +142,7 @@ def encode_file(src: str, dst: str, level: int = 0, backend: str = "auto") -> tu
     from .utils.io import FileSink, FileSource, stream_encode
 
     with open(src, "rb") as fin, open(dst, "wb") as fout:
-        if backend in _STREAMING:
+        if streams_by_default(backend):
             return stream_encode(FileSource(fin), FileSink(fout), level)
         data = fin.read()
         out = encode(data, level, backend)
@@ -143,7 +158,7 @@ def decode_file(src: str, dst: str, backend: str = "auto") -> tuple[int, int]:
     from .utils.io import FileSink, FileSource, stream_decode
 
     with open(src, "rb") as fin, open(dst, "wb") as fout:
-        if backend in _STREAMING:
+        if streams_by_default(backend):
             return stream_decode(FileSource(fin), FileSink(fout))
         data = fin.read()
         out = decode(data, backend)

@@ -20,6 +20,7 @@ import sys
 import time
 import zlib
 
+from .api import streams_by_default
 from .utils.io import CodecHooks, FileSink, FileSource, stream_decode, stream_encode
 
 _USAGE = """\
@@ -31,11 +32,6 @@ usage: python -m libzling_tpu <command> [source [target]] [--backend B] [--check
  backends: auto (default: streaming block-group pipeline), pipeline, native,
            spec, jax, tpu, mesh (device backends buffer the whole input)
 """
-
-# backends with a block-group carry API stream at O(group) memory; the
-# device lanes need the whole buffer resident and run one-shot
-_STREAMING_BACKENDS = ("auto", "pipeline")
-
 
 class _Adler32Source(FileSource):
     """FileSource that accumulates adler32 over everything read."""
@@ -130,7 +126,10 @@ def main(argv: list[str] | None = None) -> int:
     dst = open(argv[2], "wb") if len(argv) > 2 else sys.stdout.buffer
 
     try:
-        if backend not in _STREAMING_BACKENDS:
+        # streaming only for block-group-carry backends, honoring the
+        # LIBZLING_TPU_BACKEND override on "auto" (api.streams_by_default
+        # is the single source of truth); device lanes run one-shot
+        if not streams_by_default(backend):
             _run_oneshot(cmd, src, dst, backend, checksum)
             return 0
         # streaming default: block-group bounded memory, per-block progress

@@ -172,10 +172,17 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
             t0 = time.perf_counter()
 
         # ---- reassemble on device 0 (ICI gather on real parts) and run
-        # the serial resolve chain there; MTF carries group to group
-        tokens0 = jax.device_put(tokens, dev0).reshape(1, Cp * out_tokens)
+        # the serial resolve chain there; MTF carries group to group.
+        # On a 1-device mesh the tokens already live on dev0 and the
+        # device_put is a measured ~0.5 s/group round-trip -- skip it.
+        if D == 1:
+            tokens0 = tokens.reshape(1, Cp * out_tokens)
+        else:
+            tokens0 = jax.device_put(tokens, dev0).reshape(1, Cp * out_tokens)
         if stage_probe is not None:
-            jax.block_until_ready(tokens0)
+            # forced fetch: this platform's block_until_ready does not
+            # synchronize (DESIGN.md ledger item 7)
+            np.asarray(jax.device_get(tokens0.ravel()[:1]))
             stage_probe["gather_s"] = stage_probe.get("gather_s", 0.) \
                 + time.perf_counter() - t0
             t0 = time.perf_counter()

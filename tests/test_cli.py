@@ -122,6 +122,22 @@ def test_cli_stdin_stdout_roundtrip():
     assert a1 == a2 and len(a1) == 1
 
 
+def test_streams_by_default_honors_env_override(monkeypatch):
+    # LIBZLING_TPU_BACKEND pins "auto": the streaming decision must see the
+    # pinned backend (a device-backend validation run must not silently
+    # exercise the host pipeline instead)
+    from libzling_tpu import api
+
+    monkeypatch.delenv("LIBZLING_TPU_BACKEND", raising=False)
+    assert api.streams_by_default("auto")
+    assert api.streams_by_default("pipeline")
+    assert not api.streams_by_default("tpu")
+    monkeypatch.setenv("LIBZLING_TPU_BACKEND", "spec")
+    assert not api.streams_by_default("auto")
+    monkeypatch.setenv("LIBZLING_TPU_BACKEND", "pipeline")
+    assert api.streams_by_default("auto")
+
+
 def test_cli_oneshot_backend_still_works(tmp_path):
     # non-streaming backends (spec here) keep the whole-buffer path
     data = b"one-shot backend path " * 300

@@ -49,11 +49,13 @@ tot = time.perf_counter() - t0
 ent, gat, res = (probe.get(k, 0.) for k in
                  ("entropy_s", "gather_s", "resolve_s"))
 print(f"stages: entropy {ent:.2f}s, gather {gat:.2f}s, resolve {res:.2f}s "
-      f"(probe total {tot:.2f}s)", flush=True)
-print(f"resolve-bound ceiling: {len(data)/(res+gat)/1e6:.2f} MB/s; "
-      f"resolve standalone: {len(data)/res/1e6:.2f} MB/s", flush=True)
+      f"(probe total {tot:.2f}s; the gather segment carries ~0.5 s/group of "
+      f"probe-sync overhead through the tunnel -- an ICI gather of the "
+      f"token array is ~ms on real parts)", flush=True)
+print(f"resolve-bound ceiling: {len(data)/res/1e6:.2f} MB/s "
+      f"(= resolve standalone)", flush=True)
 # crossover D: with entropy sharded D ways and overlapped with resolve,
-# lane rate ~ bytes / max(resolve+gather, entropy/D)
+# lane rate ~ bytes / max(resolve, entropy/D)
 for d in (1, 2, 4, 8):
-    rate = len(data) / max(res + gat, ent / d) / 1e6
-    print(f"  projected D={d}: {rate:.2f} MB/s", flush=True)
+    rate = len(data) / max(res, ent / d) / 1e6
+    print(f"  projected D={d} (overlapped): {rate:.2f} MB/s", flush=True)

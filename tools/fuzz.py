@@ -74,25 +74,41 @@ def main() -> int:
     for r in range(args.rounds):
         n = rng.randrange(0, args.max_size)
         data = _blob(rng, n)
-        level = rng.randrange(5)
+        level = rng.randrange(7)  # 0-4 reference levels + e5/e6 extensions
         tag = hashlib.md5(data).hexdigest()[:12]
         try:
             stream = z.encode(data, level)
             back = z.decode(stream)
             assert back == data, "round-trip mismatch"
             if ref.exists():
-                expect = subprocess.run([str(ref), f"e{level}"], input=data,
-                                        capture_output=True, timeout=120).stdout
-                assert stream == expect, "not bit-exact with reference"
+                if level <= 4:
+                    expect = subprocess.run(
+                        [str(ref), f"e{level}"], input=data,
+                        capture_output=True, timeout=120).stdout
+                    assert stream == expect, "not bit-exact with reference"
+                else:
+                    # e5/e6 are framework levels: the reference cannot
+                    # produce them but MUST be able to decode them
+                    got = subprocess.run([str(ref), "d"], input=stream,
+                                         capture_output=True,
+                                         timeout=120).stdout
+                    assert got == data, "reference cannot decode e5/e6 stream"
             # device-kernel decode lane (Pallas entropy + resolve), in
             # interpreter mode for small blobs: must agree byte-for-byte
             if n <= 3000:
                 from libzling_tpu import device
+                from libzling_tpu.parallel import decode_mesh, mesh as pmesh
 
                 got = device.decode(stream, interpret=True, slab_words=256,
                                     flush_tokens=256, max_tokens=8192,
                                     slab_tokens=256)
                 assert got == data, "device-kernel decode mismatch"
+                # sharded-entropy mesh decode lane on the same stream
+                mout = decode_mesh.mesh_decode(
+                    stream, mesh=pmesh.make_mesh(), group_blocks=2,
+                    max_tokens=8192, flush_tokens=256, slab_words=256,
+                    slab_tokens=256)
+                assert mout == data, "mesh decode mismatch"
             # corrupt-stream decode: flip a random bit; must raise or produce
             # bytes, never hang (bounded by subprocess-free in-process call)
             if stream:

@@ -134,7 +134,7 @@ def main() -> None:
     # Probed no-verify runs (the bench's scaling-model source) get their own
     # key so they never clobber a verified byte_identical row.
     key = f"{mode}_e{args.level}"
-    if args.probe and args.no_verify:
+    if args.no_verify:
         key += "_probe"
     doc[key] = rec
     ARTIFACT.write_text(json.dumps(doc, indent=1))
