@@ -72,8 +72,8 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
                      outa_hbm, outb_hbm, stat_ref,
                      slab_ref, stg_a, stg_b, head_ref, mru_ref, pers_ref,
                      ctag_ref, ccnt_ref, cs0_ref, cn1_ref, cs1_ref, cn2_ref,
-                     block_vmem, hash_ref, chain_ref, slot_ref,
-                     sem_in, sem_blk, sem_oa, sem_ob,
+                     hslab_ref, block_vmem, hash_ref, chain_ref, slot_ref,
+                     hstage_vmem, sem_in, sem_blk, sem_oa, sem_ob, sem_hs,
                      *, chunk_stride: int, max_chunks: int, block_rows: int,
                      debug_flags: int = 0):
     # debug_flags (diagnostic builds only): 1 = chain cache off,
@@ -87,6 +87,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
     max_tokens = meta_ref[0, 0, 1]
     chunk_units = meta_ref[0, 0, 2]
     IOTA = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    IOTAS = jax.lax.broadcasted_iota(jnp.int32, (SLAB_WORDS // 128, 128), 1)
     L_ROWS = 3  # 264-byte LCP window lives in 3 rows
     IOTA3 = jax.lax.broadcasted_iota(jnp.int32, (L_ROWS, 128), 1)
     ROW3 = jax.lax.broadcasted_iota(jnp.int32, (L_ROWS, 128), 0)
@@ -133,15 +134,47 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
 
     jax.lax.fori_loop(0, CACHE_LINES, zctag, 0)
 
+    SROWS = SLAB_WORDS // 128
+
     def load_slab(soff):
         src = pl.multiple_of(soff, 128)
         cp = pltpu.make_async_copy(blockf_hbm.at[0, pl.ds(src, SLAB_WORDS)],
                                    slab_ref.at[0, :], sem_in)
         cp.start()
+        # hash precompute, vector domain: the per-position hash4 values
+        # (check | hslot << 8) for the whole slab window, computed from the
+        # resident block copy and DMA'd to SMEM beside the byte slab.  The
+        # scalar loop then reads ONE SMEM word where it used to run ~15 ops
+        # of u32le + multiplies, at 2-3 call sites per unit; the vector
+        # pass + 8 KB DMA amortize to ~ns/unit over the ~400 units a slab
+        # refill covers (round-5; the kernel is issue-bound, DESIGN.md -3).
+        # block_rows is sized with SLAB_WORDS + 512 bytes of zero slack
+        # beyond ilen and soff <= ilen, so rows r0 .. r0+SROWS stay in
+        # bounds without clipping (a clip would silently misalign the
+        # precomputed values with their positions)
+        r0 = _srl(soff, 7)
+        w = block_vmem[pl.ds(r0, SROWS + 1), :]
+        sh = [w[0:SROWS, :]]
+        for k in (1, 2, 3):
+            rk = pltpu.roll(w, shift=128 - k, axis=1)
+            sh.append(jnp.where(IOTAS < 128 - k, rk[0:SROWS, :],
+                                rk[1:SROWS + 1, :]))
+        h = (sh[0] | (sh[1] << 8) | (sh[2] << 16) | (sh[3] << 24)) \
+            + sh[2] * 137 + sh[3] * 13337
+        hstage_vmem[:, :] = (_srl(h, 13) & 255) | ((h & 8191) << 8)
+        cph = pltpu.make_async_copy(hstage_vmem, hslab_ref, sem_hs)
+        cph.start()
         cp.wait()
+        cph.wait()
 
     def sbyte(p, soff):
         return slab_ref[0, jnp.maximum(p, 0) - soff]
+
+    def shash(p, soff):
+        """(check, hslot) of position p from the precomputed hash slab."""
+        q = p - soff
+        hw = hslab_ref[_srl(q, 7), q & 127]
+        return hw & 255, _srl(hw, 8)
 
     def funnel3(p):
         """[3,128] window whose element (0,0) is block byte p (p >= 0)."""
@@ -175,11 +208,6 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
     def u32le_slab(p, soff):
         return (sbyte(p, soff) | (sbyte(p + 1, soff) << 8)
                 | (sbyte(p + 2, soff) << 16) | (sbyte(p + 3, soff) << 24))
-
-    def hash4(p, soff):
-        h = u32le_slab(p, soff) + sbyte(p + 2, soff) * 137 \
-            + sbyte(p + 3, soff) * 13337
-        return _srl(h, 13) & 255, h & 8191
 
     match_limit = ilen - MATCH_MAX_LEN - 16
 
@@ -237,7 +265,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         already fetched from the LCP region (vector-verdict path)."""
         lctx = sbyte(p - 1, soff)
         if pre is None:
-            _, lslot = hash4(p, soff)
+            _, lslot = shash(p, soff)
             key = lctx * 8192 + lslot
             line = cache_line(key)
             hit = ctag_ref[0, line] == key
@@ -312,7 +340,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
             the LCP extract no longer feeds walk control;
         Writes (found, mlen, midx) to pers_ref[0..2]."""
         ctx = sbyte(ipos - 1, soff)
-        check, hslot = hash4(ipos, soff)
+        check, hslot = shash(ipos, soff)
         hrow = ctx * 64 + _srl(hslot, 7)
         key = ctx * 8192 + hslot
         line = cache_line(key)
@@ -365,7 +393,7 @@ def _tokenize_kernel(meta_ref, blockf_hbm, block2d_hbm,
         if DBG_NO_PREFETCH:
             lazy_on = jnp.bool_(False)
         lctx1 = sbyte(ipos, soff)
-        _, lslot1 = hash4(ipos + 1, soff)
+        _, lslot1 = shash(ipos + 1, soff)
         lkey1 = lctx1 * 8192 + lslot1
         lline1 = cache_line(lkey1)
         lhit1 = ctag_ref[0, lline1] == lkey1
@@ -801,10 +829,13 @@ def _tokenize_call(meta, block_flat, interpret: bool = False,
             pltpu.SMEM((1, CACHE_LINES), jnp.int32),
             pltpu.SMEM((1, CACHE_LINES), jnp.int32),
             pltpu.SMEM((1, CACHE_LINES), jnp.int32),
+            pltpu.SMEM((SLAB_WORDS // 128, 128), jnp.int32),
             pltpu.VMEM((block_rows, 128), jnp.int32),
             pltpu.VMEM((HASH_ROWS, 128), jnp.int32),
             pltpu.VMEM((RING_ROWS, 128), jnp.int32),
             pltpu.VMEM((RING_ROWS, 128), jnp.int32),
+            pltpu.VMEM((SLAB_WORDS // 128, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
