@@ -236,6 +236,9 @@ def main() -> None:
                 log(f"  bit-exact vs host pipeline: {verified}")
             except Exception:
                 pass
+        # checkpoint the artifact: the driver takes the LAST complete JSON
+        # line, so a kill during later sections keeps everything so far
+        emit(results)
         t = budget(400)
         if t > 0:
             try:
@@ -316,6 +319,7 @@ def main() -> None:
                         f"/ {eff(8, h_cpu + h_io):.2f} this-env")
             except Exception:
                 pass
+        emit(results)
         t = budget(400)
         if t > 0:
             try:
