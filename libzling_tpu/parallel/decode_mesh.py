@@ -37,7 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import container
 from ..ops import entropy_kernel as ek
 from ..ops import resolve_kernel as rk
-from .mesh import AXIS, make_mesh, shard_put
+from .mesh import AXIS, host_gather, make_mesh, shard_put
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -93,6 +93,14 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
     D = mesh.devices.size
     interpret = mesh.devices.flat[0].platform != "tpu"
     dev0 = mesh.devices.flat[0]
+    # multi-process (jax.distributed): device 0 of the mesh may not be
+    # addressable from this process, so the token reassembly and the serial
+    # resolve run REPLICATED across all devices instead of pinned -- every
+    # device executes the identical serial chain concurrently (same wall
+    # time; resolve is format-serial anyway) and every process can fetch
+    # the identical outputs without cross-process device access
+    multiproc = jax.process_count() > 1
+    replicated = jax.sharding.NamedSharding(mesh, P())
 
     chunks, block_sizes = container.parse(data)
     if not chunks:
@@ -128,7 +136,10 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
         for b0 in range(0, n_blocks, group_blocks))
     out_words = out_rows * 128
 
-    mtf = jax.device_put(jnp.asarray(rk.initial_mtf_state()), dev0)
+    if multiproc:
+        mtf = shard_put(rk.initial_mtf_state(), mesh, P())
+    else:
+        mtf = jax.device_put(jnp.asarray(rk.initial_mtf_state()), dev0)
 
     fetched: list[tuple] = []  # (packed, rstatus, estatus, block meta)
     for g, (c0, c1) in enumerate(groups):
@@ -175,7 +186,12 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
         # the serial resolve chain there; MTF carries group to group.
         # On a 1-device mesh the tokens already live on dev0 and the
         # device_put is a measured ~0.5 s/group round-trip -- skip it.
-        if D == 1:
+        if multiproc:
+            # all-gather to replicated: an XLA collective (rides ICI/DCN),
+            # legal from every process -- unlike a cross-process device_put
+            tokens0 = jax.jit(lambda x: x.reshape(1, Cp * out_tokens),
+                              out_shardings=replicated)(tokens)
+        elif D == 1:
             tokens0 = tokens.reshape(1, Cp * out_tokens)
         else:
             tokens0 = jax.device_put(tokens, dev0).reshape(1, Cp * out_tokens)
@@ -221,6 +237,12 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
         if item is None:
             continue
         packed, rstatus, estatus, b0, b1, base_rows, cg, rl = item
+        if multiproc:
+            # estatus is block-sharded (host_gather assembles it); packed /
+            # rstatus are replicated -- every process reads its local replica
+            estatus = host_gather(estatus)
+            rstatus = rstatus.addressable_data(0)
+            packed = packed.addressable_data(0)
         est = np.asarray(estatus).reshape(Cp, 8, 128)[:cg, 0, :]
         if est[:, 2].any() or (est[:, 0] != rl[:cg]).any():
             raise ValueError("zling: corrupt stream (huffman)")

@@ -76,3 +76,16 @@ def distributed_encode(data: bytes, level: int,
     return pmesh.mesh_encode(data, level, mesh=mesh, block_size=block_size,
                              max_tokens=max_tokens, tokenizer=tokenizer,
                              elastic=elastic)
+
+
+def distributed_decode(data: bytes, **kwargs) -> bytes:
+    """SPMD decode: per-chunk entropy decode sharded over all hosts'
+    devices; the format-serial resolve chain runs REPLICATED (an all-gather
+    hands every device the token stream, each runs the identical serial
+    chain concurrently -- same wall time, and every process assembles the
+    output without cross-process device access).  Every process must call
+    this with the same arguments and receives the same bytes.
+    kwargs pass through to parallel.decode_mesh.mesh_decode."""
+    from . import decode_mesh as dmesh
+
+    return dmesh.mesh_decode(data, mesh=global_block_mesh(), **kwargs)

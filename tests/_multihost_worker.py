@@ -52,5 +52,12 @@ assert stream == canonical, (
     f"proc {proc_id}: mesh stream != canonical ({len(stream)} vs {len(canonical)})")
 assert spec.decode(stream) == data
 
+# decode direction: entropy sharded over both processes' devices, resolve
+# replicated -- every process must reconstruct the identical input bytes
+out = dist.distributed_decode(stream, group_blocks=2, max_tokens=1024,
+                              flush_tokens=512, slab_words=512,
+                              slab_tokens=512)
+assert out == data, f"proc {proc_id}: distributed decode mismatch"
+
 pathlib.Path(outfile).write_bytes(stream)
-print(f"proc {proc_id}: OK {len(data)} -> {len(stream)}")
+print(f"proc {proc_id}: OK {len(data)} -> {len(stream)} -> decode OK")

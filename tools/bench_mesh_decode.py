@@ -1,12 +1,13 @@
 """Benchmark the multi-device decode lane (parallel/decode_mesh.py) on the
 real chip: warm end-to-end rate, per-stage split (entropy / gather /
 resolve), and the crossover device count where the sharded lane passes the
-fused single-core kernel.
+fused single-core kernel.  With --record, appends a verified row to
+MESH_CANONICAL_r05.json (the decode-direction hardware artifact).
 
-Usage: python tools/bench_mesh_decode.py [--mb 24] [--group-blocks 1]
+Usage: python tools/bench_mesh_decode.py [--mb 24] [--group-blocks 1] [--record]
 """
 
-import sys, time
+import json, pathlib, sys, time
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jaxcache")
@@ -59,3 +60,18 @@ print(f"resolve-bound ceiling: {len(data)/res/1e6:.2f} MB/s "
 for d in (1, 2, 4, 8):
     rate = len(data) / max(res, ent / d) / 1e6
     print(f"  projected D={d} (overlapped): {rate:.2f} MB/s", flush=True)
+
+if "--record" in sys.argv:
+    art = pathlib.Path("/root/repo/MESH_CANONICAL_r05.json")
+    doc = json.loads(art.read_text()) if art.exists() else {}
+    doc[f"tpu1_decode_e0_{mb}MB"] = {
+        "mode": "tpu1", "direction": "decode", "bytes_in": len(stream),
+        "bytes_out": len(data), "group_blocks": gb,
+        "seconds_warm_e2e": round(best, 2),
+        "mbps_e2e": round(len(data) / best / 1e6, 2),
+        "stage_entropy_s": round(ent, 2), "stage_resolve_s": round(res, 2),
+        "mbps_resolve_bound": round(len(data) / res / 1e6, 2),
+        "byte_identical": True,  # asserted against the encoded corpus above
+    }
+    art.write_text(json.dumps(doc, indent=1))
+    print("recorded to", art, flush=True)
