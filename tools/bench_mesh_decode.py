@@ -21,10 +21,12 @@ from tools.make_corpus import cached_corpus
 mb = int(sys.argv[sys.argv.index("--mb") + 1]) if "--mb" in sys.argv else 24
 gb = int(sys.argv[sys.argv.index("--group-blocks") + 1]) \
     if "--group-blocks" in sys.argv else 1
+level = int(sys.argv[sys.argv.index("--level") + 1]) \
+    if "--level" in sys.argv else 0
 
 data = cached_corpus(100_000_000).read_bytes()[: mb * 1048576]
-stream = pipeline.encode(data, 0)
-print(f"{len(data)} -> {len(stream)} bytes e0", flush=True)
+stream = pipeline.encode(data, level)
+print(f"{len(data)} -> {len(stream)} bytes e{level}", flush=True)
 
 mesh = pmesh.make_mesh()
 t0 = time.perf_counter()
@@ -64,7 +66,7 @@ for d in (1, 2, 4, 8):
 if "--record" in sys.argv:
     art = pathlib.Path("/root/repo/MESH_CANONICAL_r05.json")
     doc = json.loads(art.read_text()) if art.exists() else {}
-    doc[f"tpu1_decode_e0_{mb}MB"] = {
+    doc[f"tpu1_decode_e{level}_{mb}MB"] = {
         "mode": "tpu1", "direction": "decode", "bytes_in": len(stream),
         "bytes_out": len(data), "group_blocks": gb,
         "seconds_warm_e2e": round(best, 2),
