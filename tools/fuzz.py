@@ -119,6 +119,18 @@ def main() -> int:
                     z.decode(bytes(bad))
                 except ValueError:
                     pass
+                if n <= 3000:
+                    # same corrupt stream through the sharded mesh lane:
+                    # must raise or produce bytes, never hang or crash
+                    from libzling_tpu.parallel import decode_mesh, mesh as pm
+
+                    try:
+                        decode_mesh.mesh_decode(
+                            bytes(bad), mesh=pm.make_mesh(), group_blocks=2,
+                            max_tokens=8192, flush_tokens=256,
+                            slab_words=256, slab_tokens=256)
+                    except ValueError:
+                        pass
         except Exception as e:  # noqa: BLE001
             failures += 1
             d = _dump(tag, input=data, error=str(e).encode())
