@@ -138,6 +138,10 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
 
     if multiproc:
         mtf = shard_put(rk.initial_mtf_state(), mesh, P())
+        # one jitted all-gather reused across every group (uniform shapes
+        # by construction -- a per-group lambda would retrace each time)
+        gather_tokens = jax.jit(lambda x: x.reshape(1, Cp * out_tokens),
+                                out_shardings=replicated)
     else:
         mtf = jax.device_put(jnp.asarray(rk.initial_mtf_state()), dev0)
 
@@ -177,9 +181,11 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
             mesh=mesh, interpret=interpret, slab_words=slab_words,
             flush_tokens=flush_tokens, max_tokens=max_tokens)
         if stage_probe is not None:
-            np.asarray(estatus)  # forced fetch (block_until_ready does not
+            # forced fetch (block_until_ready does not sync on this
+            # platform); host_gather handles the cross-process sharding
+            host_gather(estatus)
             stage_probe["entropy_s"] = stage_probe.get("entropy_s", 0.) \
-                + time.perf_counter() - t0  # sync on this platform)
+                + time.perf_counter() - t0
             t0 = time.perf_counter()
 
         # ---- reassemble on device 0 (ICI gather on real parts) and run
@@ -189,8 +195,7 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
         if multiproc:
             # all-gather to replicated: an XLA collective (rides ICI/DCN),
             # legal from every process -- unlike a cross-process device_put
-            tokens0 = jax.jit(lambda x: x.reshape(1, Cp * out_tokens),
-                              out_shardings=replicated)(tokens)
+            tokens0 = gather_tokens(tokens)
         elif D == 1:
             tokens0 = tokens.reshape(1, Cp * out_tokens)
         else:
@@ -223,7 +228,9 @@ def mesh_decode(data: bytes, mesh: Mesh | None = None,
             out_tokens, out_words, interpret=interpret,
             slab_tokens=slab_tokens, mtf0=mtf)
         if stage_probe is not None:
-            np.asarray(rstatus)  # forced fetch
+            # forced fetch; under multi-process rstatus is replicated --
+            # read the local replica
+            np.asarray(rstatus.addressable_data(0) if multiproc else rstatus)
             stage_probe["resolve_s"] = stage_probe.get("resolve_s", 0.) \
                 + time.perf_counter() - t0
         fetched.append((packed, rstatus, estatus, b0, b1, base_rows, cg,

@@ -4,7 +4,7 @@ resolve), and the crossover device count where the sharded lane passes the
 fused single-core kernel.  With --record, appends a verified row to
 MESH_CANONICAL_r05.json (the decode-direction hardware artifact).
 
-Usage: python tools/bench_mesh_decode.py [--mb 24] [--group-blocks 1] [--record]
+Usage: python tools/bench_mesh_decode.py [--mb 24] [--group-blocks 1]\n       [--level 0] [--record]
 """
 
 import json, pathlib, sys, time

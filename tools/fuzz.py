@@ -122,11 +122,10 @@ def main() -> int:
                 if n <= 3000:
                     # same corrupt stream through the sharded mesh lane:
                     # must raise or produce bytes, never hang or crash
-                    from libzling_tpu.parallel import decode_mesh, mesh as pm
-
+                    # (decode_mesh/pmesh already imported on this path)
                     try:
                         decode_mesh.mesh_decode(
-                            bytes(bad), mesh=pm.make_mesh(), group_blocks=2,
+                            bytes(bad), mesh=pmesh.make_mesh(), group_blocks=2,
                             max_tokens=8192, flush_tokens=256,
                             slab_words=256, slab_tokens=256)
                     except ValueError:
