@@ -15,7 +15,14 @@ import subprocess
 # runs, so the platform must be set via jax.config, not JAX_PLATFORMS.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # 8 virtual devices timeshare 2 vCPUs: long shard_map stages can hold a
+    # collective past the default CPU timeout, which ABORTS the process
+    # (seen on the full-geometry dryrun; same flags as run_canonical_mesh)
+    flags += (" --xla_cpu_collective_timeout_seconds=7200"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=7200")
+os.environ["XLA_FLAGS"] = flags.strip()
 if not os.environ.get("LIBZLING_TEST_TPU"):
     import jax
 

@@ -9,8 +9,9 @@ Modes:
   --cpu   8-device virtual CPU mesh, XLA lane (default 128 MB); run under
           JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8
           --xla_cpu_collective_timeout_seconds=7200
-          --xla_cpu_collective_call_warn_stuck_seconds=7200
-          --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+          --xla_cpu_collective_call_terminate_timeout_seconds=7200
+          (warn_stuck_seconds is NOT a valid flag in this XLA build
+          and check-fails the process at backend init)"
           (8 canonical 16 MB tokenize loops timeshare 2 vCPUs, so a device
           can sit in the ppermute carry chain for many minutes -- the
           default CPU collective timeout kills the run mid-group)
