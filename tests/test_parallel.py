@@ -108,7 +108,7 @@ def test_graft_dryrun_multichip():
 
 @pytest.mark.slow
 @pytest.mark.skipif(not os.environ.get("ZLT_FULL_DRYRUN"),
-                    reason="~10 min on 2 vCPUs; run with ZLT_FULL_DRYRUN=1")
+                    reason="~16 min on 2 vCPUs; run with ZLT_FULL_DRYRUN=1")
 def test_graft_dryrun_multichip_full_geometry():
     # the 64 KB-block geometry the driver gate doesn't run (advisor round 4):
     # the opt-in registered entry point for the larger-lane coverage
